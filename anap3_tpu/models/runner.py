@@ -1,0 +1,215 @@
+"""Generic convergence-checked iteration harness for jitted steppers.
+
+The reference runs a Python ``for`` loop calling ``step()`` once per iteration
+with per-iteration residual/energy tracking and an early break on convergence
+(src/solvers/base.py:202-330). A literal port would round-trip host<->device
+every step. Here the loop is restructured TPU-style:
+
+- ``chunk`` iterations run inside ONE jitted ``lax.scan``;
+- each scan step computes the relative-iterate residual
+  max(||u-u_prev||/||u_prev||, ||v-v_prev||/||v_prev||) exactly as
+  base.py:249-258, plus the solver's algebraic residuals and conserved
+  quantities;
+- once converged (only checked after the 10-iteration warmup,
+  base.py:263-285), the carried ``done`` flag freezes the state: remaining
+  steps in the chunk are skipped via ``lax.cond``, so results are bit-identical
+  to a per-iteration Python break;
+- the host only syncs once per chunk to decide whether to launch another.
+
+The same runner drives single solves, vmapped sweep batches (``done`` becomes
+a per-lane vector; diverged lanes freeze with NaN guards instead of killing
+the batch) and multigrid level solves.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["IterationResult", "run_fixed_point", "make_chunk_runner"]
+
+WARMUP_ITERS = 10  # convergence gate + history start (reference base.py:263-285)
+
+METRIC_KEYS = (
+    "rel_iter",
+    "u_eq",
+    "v_eq",
+    "continuity",
+    "energy",
+    "enstrophy",
+    "palinstrophy",
+)
+
+
+@dataclass
+class IterationResult:
+    """Host-side result of an iterative solve."""
+
+    state: Any
+    iterations: int
+    converged: bool
+    diverged: bool
+    wall_time: float
+    # Per-iteration histories, starting at iteration index WARMUP_ITERS
+    # (lists of floats, one entry per recorded iteration).
+    history: Dict[str, List[float]]
+
+
+def _rel_change(new: jnp.ndarray, old: jnp.ndarray) -> jnp.ndarray:
+    return jnp.linalg.norm(new - old) / (jnp.linalg.norm(old) + 1e-12)
+
+
+def make_chunk_runner(
+    step_fn: Callable[[Any], Tuple[Any, Dict[str, jnp.ndarray]]],
+    get_uv: Callable[[Any], Tuple[jnp.ndarray, jnp.ndarray]],
+    chunk: int,
+    tolerance: float,
+    warmup: int = WARMUP_ITERS,
+):
+    """Build the jitted chunk function.
+
+    ``step_fn(state) -> (state, metrics)`` performs one solver iteration and
+    returns the METRIC_KEYS scalars except ``rel_iter`` (computed here).
+    ``get_uv`` extracts the velocity arrays used for the iterate-change norm.
+    """
+
+    def chunk_fn(state, start_iter):
+        u0, v0 = get_uv(state)
+
+        def body(carry, offset):
+            state, u_prev, v_prev, done, conv_iter = carry
+            # 0-based iteration index (int32 to keep the carry type stable)
+            idx = (start_iter + offset).astype(jnp.int32)
+
+            mdtype = u_prev.dtype
+
+            def active(_):
+                new_state, m = step_fn(state)
+                u_new, v_new = get_uv(new_state)
+                rel = jnp.maximum(
+                    _rel_change(u_new, u_prev), _rel_change(v_new, v_prev)
+                )
+                metrics = {k: jnp.asarray(m[k], dtype=mdtype) for k in m}
+                metrics["rel_iter"] = jnp.asarray(rel, dtype=mdtype)
+                return new_state, metrics
+
+            def frozen(_):
+                nan = jnp.full((), jnp.nan, dtype=mdtype)
+                metrics = {k: nan for k in METRIC_KEYS}
+                return state, metrics
+
+            new_state, metrics = jax.lax.cond(done, frozen, active, None)
+            u_new, v_new = get_uv(new_state)
+            rel = metrics["rel_iter"]
+            finite = jnp.isfinite(rel)
+            newly_converged = (idx >= warmup) & (rel < tolerance) & finite
+            newly_diverged = ~finite & ~done
+            now_done = done | newly_converged | newly_diverged
+            conv_iter = jnp.where(~done & now_done, idx + 1, conv_iter)
+            out = jnp.stack([metrics[k] for k in METRIC_KEYS])
+            return (new_state, u_new, v_new, now_done, conv_iter), (
+                out,
+                newly_converged,
+            )
+
+        init = (
+            state,
+            u0,
+            v0,
+            jnp.asarray(False),
+            jnp.asarray(-1, dtype=jnp.int32),
+        )
+        (state, _, _, done, conv_iter), (metric_rows, conv_flags) = jax.lax.scan(
+            body, init, jnp.arange(chunk)
+        )
+        converged = jnp.any(conv_flags)
+        return state, done, conv_iter, converged, metric_rows
+
+    return jax.jit(chunk_fn, static_argnums=())
+
+
+def run_fixed_point(
+    step_fn,
+    get_uv,
+    state,
+    tolerance: float,
+    max_iterations: int,
+    chunk: int = 100,
+    warmup: int = WARMUP_ITERS,
+    log_callback: Optional[Callable[[int, Dict[str, float]], None]] = None,
+    log_every: int = 50,
+) -> IterationResult:
+    """Run ``step_fn`` to convergence with reference-exact semantics.
+
+    ``log_callback(iteration, metrics_dict)`` is invoked (outside the timed
+    region, like the reference's excluded MLflow time, base.py:288-316) for
+    every ``log_every``-th iteration using the recorded per-step metrics.
+    """
+    chunk = int(min(chunk, max(1, max_iterations)))
+    runner = make_chunk_runner(step_fn, get_uv, chunk, tolerance, warmup)
+
+    history_rows: List[np.ndarray] = []
+    iterations = 0
+    converged = False
+    diverged = False
+    log_time = 0.0
+    t0 = time.time()
+
+    it = 0
+    while it < max_iterations:
+        state, done, conv_iter, chunk_converged, rows = runner(
+            state, jnp.asarray(it, dtype=jnp.int32)
+        )
+        done_host = bool(done)
+        conv_iter_host = int(conv_iter)
+        rows_host = np.asarray(rows)
+
+        if done_host:
+            n_ran = conv_iter_host - it
+            iterations = conv_iter_host
+            converged = bool(chunk_converged)
+            diverged = not converged
+        else:
+            n_ran = min(chunk, max_iterations - it)
+            iterations = it + n_ran
+        history_rows.append(rows_host[:n_ran])
+
+        if log_callback is not None:
+            t_log = time.time()
+            for off in range(n_ran):
+                gi = it + off
+                if gi % log_every == 0 or (done_host and gi == iterations - 1):
+                    metrics = dict(zip(METRIC_KEYS, rows_host[off].tolist()))
+                    log_callback(gi, metrics)
+            log_time += time.time() - t_log
+
+        it += n_ran
+        if done_host:
+            break
+
+    wall = time.time() - t0 - log_time
+
+    all_rows = (
+        np.concatenate(history_rows, axis=0)
+        if history_rows
+        else np.zeros((0, len(METRIC_KEYS)))
+    )
+    # Reference records history only from iteration index >= warmup
+    recorded = all_rows[warmup:iterations] if iterations > warmup else all_rows[:0]
+    history = {
+        key: recorded[:, i].tolist() for i, key in enumerate(METRIC_KEYS)
+    }
+    return IterationResult(
+        state=state,
+        iterations=iterations,
+        converged=converged,
+        diverged=diverged,
+        wall_time=wall,
+        history=history,
+    )

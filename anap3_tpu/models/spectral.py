@@ -1,0 +1,242 @@
+"""Spectral solver classes: single-grid (SG) and FSG multigrid.
+
+These classes are thin hosts around the jitted functional cores in
+``spectral_sg.py``; see that module for the numerical contract. The FSG
+driver reproduces the coarse-to-fine nested iteration of the reference
+(src/solvers/spectral/multigrid/fsg.py:1053-1221 and spectral/fsg.py:39-129):
+
+- hierarchy N, N/2, ... down to ``coarsest_n=12`` (fsg.py:489-543);
+- per-level tolerance = tol * factor^(levels_from_finest) (fsg.py:1119-1125);
+- spectrally-exact prolongation with hard BC re-enforcement afterwards
+  (fsg.py:551-614), here two matmuls with a precomputed DCT-derived matrix;
+- NaN/Inf divergence early-exit (fsg.py:1184-1190) via the runner's frozen
+  lanes.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .base import CavitySolver
+from .params import Fields, SpectralParameters
+from .runner import IterationResult, run_fixed_point
+from . import spectral_sg as core
+from ..ops import basis as basis_ops
+from ..ops.poisson import spectral_dirichlet_poisson
+from ..ops.transfer import make_transfer_matrices
+
+log = logging.getLogger(__name__)
+
+__all__ = ["SGSolver", "FSGSolver"]
+
+
+class SGSolver(CavitySolver):
+    """Single-grid PN-PN-2 artificial-compressibility solver (reference sg.py)."""
+
+    Parameters = SpectralParameters
+
+    def __init__(self, params=None, **kwargs):
+        super().__init__(params=params, **kwargs)
+        self.ops, self.grid = core.build_spectral_ops(self.params)
+        self.state = core.initial_state(self.ops)
+        self._psi_poisson = None
+
+    # -- solve ---------------------------------------------------------
+
+    def solve(self, tolerance: float = None, max_iter: int = None) -> None:
+        tol = self.params.tolerance if tolerance is None else tolerance
+        max_iter = self.params.max_iterations if max_iter is None else max_iter
+        ops = self.ops
+
+        def step(state):
+            return core.sg_step(ops, state)
+
+        result = run_fixed_point(
+            step,
+            lambda s: (s.u, s.v),
+            self.state,
+            tolerance=tol,
+            max_iterations=max_iter,
+            log_callback=self._log_callback,
+        )
+        self.state = result.state
+        self._store_results(result)
+
+    # -- field plumbing --------------------------------------------------
+
+    def _final_fields(self) -> Fields:
+        X, Y = np.meshgrid(self.grid["x_nodes"], self.grid["y_nodes"], indexing="ij")
+        u = np.asarray(self.state.u, dtype=float)
+        v = np.asarray(self.state.v, dtype=float)
+        p_full = np.asarray(core.extrapolate_inner_to_full(self.state.p), dtype=float)
+        return Fields(u=u.ravel(), v=v.ravel(), p=p_full.ravel(),
+                      x=X.ravel(), y=Y.ravel())
+
+    def _vorticity_full(self) -> np.ndarray:
+        return np.asarray(core.vorticity(self.ops, self.state.u, self.state.v))
+
+    def _streamfunction(self):
+        if self._psi_poisson is None:
+            self._psi_poisson = spectral_dirichlet_poisson(
+                self.grid["Dxx"], self.grid["Dyy"],
+                dtype=jnp.dtype(self.params.dtype),
+            )
+        from ..analysis.vortex import solve_streamfunction
+
+        omega = self._vorticity_full()
+        psi = solve_streamfunction(self._psi_poisson, omega)
+        X, Y = np.meshgrid(self.grid["x_nodes"], self.grid["y_nodes"], indexing="ij")
+        return psi, X, Y
+
+    # -- spectral point evaluation ---------------------------------------
+
+    def _evaluate_at_points(self, x: np.ndarray, y: np.ndarray):
+        """Global 2D polynomial evaluation at scattered points.
+
+        Replaces the reference's bilinear fallback (base.py:1122-1160) with a
+        tensor-product modal evaluation (Legendre basis for conditioning):
+        coefficients A = Vx^{-1} U Vy^{-T}, values = einsum of row Vandermondes.
+        """
+        xn, yn = self.grid["x_nodes"], self.grid["y_nodes"]
+
+        def to_ref(vals, nodes):
+            lo, hi = nodes[0], nodes[-1]
+            return 2.0 * (np.asarray(vals, dtype=float) - lo) / (hi - lo) - 1.0
+
+        Vx = basis_ops.jacobi_vandermonde(to_ref(xn, xn))
+        Vy = basis_ops.jacobi_vandermonde(to_ref(yn, yn))
+        Px = basis_ops.jacobi_vandermonde(to_ref(x, xn), degree=xn.size - 1)
+        Py = basis_ops.jacobi_vandermonde(to_ref(y, yn), degree=yn.size - 1)
+
+        def eval_field(F):
+            coeff = np.linalg.solve(Vx, np.linalg.solve(Vy, np.asarray(F, float).T).T)
+            return np.einsum("pm,mn,pn->p", Px, coeff, Py, optimize=True)
+
+        return eval_field(self.state.u), eval_field(self.state.v)
+
+    def _vorticity_for_export(self, U, V, x, y):
+        """Spectral derivatives for VTS export (instead of spline smoothing).
+
+        U, V arrive in (ny, nx) row-major-by-y layout from the generic
+        exporter; the solver's operators act on (x, y)-indexed arrays, so we
+        transpose around the matmuls.
+        """
+        omega_xy = np.asarray(
+            core.vorticity(self.ops, jnp.asarray(U.T, self.ops.Dx.dtype),
+                           jnp.asarray(V.T, self.ops.Dx.dtype))
+        )
+        return omega_xy.T
+
+
+class FSGSolver(SGSolver):
+    """Full-single-grid nested-iteration multigrid spectral solver."""
+
+    COARSEST_N = 12
+
+    def _level_orders(self) -> list:
+        orders = []
+        n = int(self.params.nx)
+        for _ in range(int(self.params.n_levels)):
+            orders.append(n)
+            if n // 2 < self.COARSEST_N:
+                break
+            n = n // 2
+        return orders[::-1]  # coarsest first
+
+    def solve(self, tolerance: float = None, max_iter: int = None) -> None:
+        tol = self.params.tolerance if tolerance is None else tolerance
+        max_iter = self.params.max_iterations if max_iter is None else max_iter
+        orders = self._level_orders()
+        log.info("FSG hierarchy: N = %s", orders)
+        dtype = jnp.dtype(self.params.dtype)
+
+        t0 = time.time()
+        total_iters = 0
+        converged = False
+        diverged = False
+        state: Optional[core.SpectralState] = None
+
+        for level_idx, n in enumerate(orders):
+            level_tol = tol * (
+                self.params.coarse_tolerance_factor ** (len(orders) - 1 - level_idx)
+            )
+            if n == int(self.params.nx):
+                ops, grid = self.ops, self.grid
+            else:
+                ops, grid = core.build_spectral_ops(self.params, n=n)
+
+            if state is None:
+                state = core.initial_state(ops)
+            else:
+                state = self._prolongate(state, prev_n, n, ops, dtype)
+
+            def step(s, _ops=ops):
+                return core.sg_step(_ops, s)
+
+            result = run_fixed_point(
+                step, lambda s: (s.u, s.v), state,
+                tolerance=level_tol, max_iterations=max_iter,
+                log_callback=self._log_callback
+                if level_idx == len(orders) - 1 else None,
+            )
+            state = result.state
+            total_iters += result.iterations
+            converged = result.converged
+            diverged = result.diverged
+            log.info("FSG level %d (N=%d): %d iters, converged=%s",
+                     level_idx, n, result.iterations, converged)
+            if diverged:
+                log.warning("FSG level %d diverged (NaN/Inf); aborting", level_idx)
+                break
+            prev_n = n
+
+        wall = time.time() - t0
+        self.state = state
+        # Synthesize the single-row history the reference stores
+        # (spectral/fsg.py:96-124): final algebraic residuals + a placeholder
+        # rel-iter entry at tol (or 10x tol if unconverged).
+        R_u, R_v, R_p = core.residuals(self.ops, state.u, state.v, state.p)
+        omega = core.vorticity(self.ops, state.u, state.v)
+        dwx = jnp.matmul(self.ops.Dx, omega, precision=jax.lax.Precision.HIGHEST)
+        dwy = jnp.matmul(omega, self.ops.DyT, precision=jax.lax.Precision.HIGHEST)
+        W = self.ops.W2d
+        history = {
+            "rel_iter": [tol if converged else tol * 10],
+            "u_eq": [float(jnp.linalg.norm(R_u))],
+            "v_eq": [float(jnp.linalg.norm(R_v))],
+            "continuity": [float(jnp.linalg.norm(R_p))],
+            "energy": [float(0.5 * jnp.sum(W * (state.u**2 + state.v**2)))],
+            "enstrophy": [float(0.5 * jnp.sum(W * omega**2))],
+            "palinstrophy": [float(0.5 * jnp.sum(W * (dwx**2 + dwy**2)))],
+        }
+        result = IterationResult(
+            state=state, iterations=total_iters,
+            converged=bool(converged and not diverged),
+            diverged=bool(diverged), wall_time=wall, history=history,
+        )
+        self._store_results(result)
+        log.info("FSG completed in %.2fs: %d iterations, converged=%s",
+                 wall, total_iters, converged)
+
+    def _prolongate(self, state, n_coarse, n_fine, ops_fine, dtype):
+        """Coarse->fine transfer with BC re-enforcement (fsg.py:551-614)."""
+        P_full, _ = make_transfer_matrices(
+            n_coarse + 1, n_fine + 1,
+            self.params.prolongation_method, self.params.restriction_method)
+        P_inner, _ = make_transfer_matrices(
+            n_coarse - 1, n_fine - 1,
+            self.params.prolongation_method, self.params.restriction_method)
+        Pf = jnp.asarray(P_full, dtype=dtype)
+        Pi = jnp.asarray(P_inner, dtype=dtype)
+        mm = lambda a, b: jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
+        u = mm(mm(Pf, state.u), Pf.T)
+        v = mm(mm(Pf, state.v), Pf.T)
+        p = mm(mm(Pi, state.p), Pi.T)
+        u, v = core.enforce_bc(ops_fine, u, v)
+        return core.SpectralState(u=u, v=v, p=p)

@@ -1,0 +1,157 @@
+"""End-to-end tests of the single-grid spectral solver."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from anap3_tpu.models.params import SpectralParameters
+from anap3_tpu.models.spectral import SGSolver
+from anap3_tpu.models import spectral_sg as core
+
+
+def make_params(**over):
+    base = dict(
+        name="spectral",
+        Re=100.0,
+        nx=16,
+        ny=16,
+        basis_type="chebyshev",
+        CFL=1.5,
+        beta_squared=5.0,
+        corner_treatment="smoothing",
+        corner_smoothing=0.15,
+        tolerance=1e-6,
+        max_iterations=18000,
+        dtype="float64",
+    )
+    base.update(over)
+    return SpectralParameters(**base)
+
+
+class TestStep:
+    def test_bc_enforcement(self):
+        ops, grid = core.build_spectral_ops(make_params())
+        state = core.initial_state(ops)
+        u = np.asarray(state.u)
+        # lid profile on top (y = Ly edge, second index), zero on other walls
+        assert np.allclose(u[:, 0], 0.0)
+        assert np.allclose(u[0, 1:-1], 0.0)
+        assert np.allclose(u[-1, 1:-1], 0.0)
+        x = grid["x_nodes"]
+        mid = np.argmin(np.abs(x - 0.5))
+        assert u[mid, -1] == pytest.approx(1.0)
+        assert u[0, -1] == pytest.approx(0.0)  # smoothed corners
+
+    def test_step_preserves_bc_and_is_finite(self):
+        ops, _ = core.build_spectral_ops(make_params())
+        state = core.initial_state(ops)
+        for _ in range(5):
+            state, m = jax.jit(core.sg_step)(ops, state)
+        u = np.asarray(state.u)
+        assert np.all(np.isfinite(u))
+        assert np.allclose(u[:, 0], 0.0)
+        assert np.isfinite(float(m["energy"]))
+
+    def test_jit_matches_eager(self):
+        ops, _ = core.build_spectral_ops(make_params())
+        state = core.initial_state(ops)
+        s_j, _ = jax.jit(core.sg_step)(ops, state)
+        s_e, _ = core.sg_step(ops, state)
+        np.testing.assert_allclose(np.asarray(s_j.u), np.asarray(s_e.u),
+                                   rtol=1e-12, atol=1e-14)
+
+    def test_residual_of_polynomial_field(self):
+        """Residual operator sanity: for u=v=0, p polynomial, R_u = -dp/dx."""
+        ops, grid = core.build_spectral_ops(make_params())
+        x_in = grid["x_nodes"][1:-1]
+        Xi, Yi = np.meshgrid(x_in, x_in, indexing="ij")
+        p = jnp.asarray(Xi**2 * Yi)
+        z = jnp.zeros(grid["shape_full"])
+        R_u, R_v, R_p = core.residuals(ops, z, z, p)
+        X, Y = np.meshgrid(grid["x_nodes"], grid["x_nodes"], indexing="ij")
+        np.testing.assert_allclose(np.asarray(R_u), -2 * X * Y, atol=1e-8)
+        np.testing.assert_allclose(np.asarray(R_v), -(X**2), atol=1e-8)
+        np.testing.assert_allclose(np.asarray(R_p), 0.0, atol=1e-10)
+
+
+class TestSolve:
+    @pytest.fixture(scope="class")
+    def solved(self):
+        solver = SGSolver(params=make_params(tolerance=2e-6))
+        solver.solve()
+        return solver
+
+    def test_converges(self, solved):
+        assert solved.metrics.converged
+        assert solved.metrics.iterations > 100
+        assert solved.metrics.final_residual < 2e-6
+
+    def test_primary_vortex_near_botella_re100(self, solved):
+        # Botella/literature Re=100: psi_min ~ -0.1034 at (0.6188, 0.7344).
+        # Smoothed lid + N=24 gives a few percent agreement.
+        m = solved.metrics
+        assert m.psi_min == pytest.approx(-0.1034, abs=1.2e-2)
+        assert m.psi_min_x == pytest.approx(0.6188, abs=0.08)
+        assert m.psi_min_y == pytest.approx(0.7344, abs=0.08)
+
+    def test_energy_reasonable(self, solved):
+        assert 0.01 < solved.metrics.final_energy < 0.1
+
+    def test_ghia_centerline_re100(self, solved, repo_root):
+        import pandas as pd
+
+        csv = "/root/reference/data/validation/ghia/ghia_Re100_u_centerline.csv"
+        ghia = pd.read_csv(csv)
+        u_c, _ = solved._evaluate_at_points(
+            np.full(len(ghia), 0.5), ghia["y"].to_numpy()
+        )
+        err = np.max(np.abs(u_c - ghia["u"].to_numpy()))
+        assert err < 0.06  # smoothed-lid vs sharp-lid difference bound
+
+    def test_fields_and_vts_export(self, solved, tmp_path):
+        solved.save_vtk(tmp_path / "sol.vts")
+        from anap3_tpu.utils.vts import read_vts
+
+        g = read_vts(tmp_path / "sol.vts")
+        assert g.point_data["u"].shape == (17 * 17,)
+        assert abs(g.point_data["u"]).max() <= 1.0 + 1e-6
+        assert g.field_data["solver"] == "spectral"
+
+    def test_hdf5_save(self, solved, tmp_path):
+        solved.save(tmp_path / "state.h5")
+        import h5py
+
+        with h5py.File(tmp_path / "state.h5") as h5:
+            assert "fields/u" in h5
+            assert h5["metrics/converged"][0] == 1
+
+
+class TestRunnerSemantics:
+    def test_frozen_after_convergence_matches_python_loop(self):
+        """Chunked scan with freezing must give the same iteration count as a
+        per-step Python loop with immediate break."""
+        params = make_params(nx=12, ny=12, tolerance=1e-3, max_iterations=3000)
+        ops, _ = core.build_spectral_ops(params)
+
+        # Python reference loop
+        state = core.initial_state(ops)
+        u_prev, v_prev = state.u, state.v
+        it_py = None
+        step = jax.jit(core.sg_step)
+        for i in range(3000):
+            state, _ = step(ops, state)
+            rel = max(
+                float(jnp.linalg.norm(state.u - u_prev)
+                      / (jnp.linalg.norm(u_prev) + 1e-12)),
+                float(jnp.linalg.norm(state.v - v_prev)
+                      / (jnp.linalg.norm(v_prev) + 1e-12)),
+            )
+            u_prev, v_prev = state.u, state.v
+            if i >= 10 and rel < 1e-3:
+                it_py = i + 1
+                break
+
+        solver = SGSolver(params=params)
+        solver.solve()
+        assert solver.metrics.iterations == it_py
