@@ -1,0 +1,158 @@
+"""Vmapped batch sweeps: many (Re, corner_smoothing, ...) solves in one jit.
+
+The reference distributes sweep members over joblib processes (n_jobs=4,
+conf/machine/local.yaml) or LSF job arrays (scripts/hpc_submit.py). On TPU
+the natural unit is a BATCH AXIS: all lanes share the operator matrices
+(same N), per-lane scalars/boundary profiles ride the vmapped ops pytree,
+and one jitted chunk advances every lane simultaneously on the MXU.
+
+Failure isolation carried over from the reference's divergence handling
+(multigrid/fsg.py:1184-1190): a lane that goes NaN/Inf is frozen (its state
+stops updating) without touching the other lanes; it is reported as
+diverged at the end.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from typing import Any, Callable, Dict, List, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.runner import METRIC_KEYS, WARMUP_ITERS, _rel_change
+
+__all__ = ["SweepResult", "stack_ops", "make_batched_chunk_runner",
+           "run_batched_sweep"]
+
+
+@dataclass
+class SweepResult:
+    """Per-lane outcome of a batched sweep."""
+
+    states: Any                   # batched final state pytree
+    iterations: np.ndarray        # (B,)
+    converged: np.ndarray         # (B,) bool
+    diverged: np.ndarray          # (B,) bool
+    wall_time: float
+    history: Dict[str, np.ndarray]  # key -> (B, n_recorded)
+
+
+def stack_ops(ops_list: Sequence[Any]) -> Any:
+    """Stack per-lane ops pytrees along a new leading batch axis."""
+    return jax.tree.map(lambda *leaves: jnp.stack(leaves), *ops_list)
+
+
+def make_batched_chunk_runner(step_fn: Callable, get_uv: Callable, chunk: int,
+                              tolerance: float, warmup: int = WARMUP_ITERS):
+    """Jitted chunk over a batch: ``step_fn(ops_lane, state_lane)`` is vmapped.
+
+    Per-lane ``done`` freezing uses a select (all lanes compute every step —
+    the SPMD cost model — but frozen lanes keep their converged state).
+    """
+    vstep = jax.vmap(step_fn)
+    vuv = jax.vmap(lambda s: get_uv(s))
+    vrel = jax.vmap(_rel_change)
+
+    def chunk_fn(ops, states, start_iter):
+        u0, v0 = vuv(states)
+
+        def body(carry, offset):
+            states, u_prev, v_prev, done, conv_iter = carry
+            idx = (start_iter + offset).astype(jnp.int32)
+            new_states, m = vstep(ops, states)
+            u_new, v_new = vuv(new_states)
+            rel = jnp.maximum(vrel(u_new, u_prev), vrel(v_new, v_prev))
+            mdtype = u_prev.dtype
+            metrics = {k: jnp.asarray(m[k], mdtype) for k in m}
+            metrics["rel_iter"] = rel.astype(mdtype)
+
+            finite = jnp.isfinite(rel)
+            newly_conv = (idx >= warmup) & (rel < tolerance) & finite
+            newly_div = ~finite & ~done
+            now_done = done | newly_conv | newly_div
+
+            # freeze finished lanes
+            keep = lambda new, old: jnp.where(
+                done.reshape((-1,) + (1,) * (new.ndim - 1)), old, new)
+            frozen_states = jax.tree.map(keep, new_states, states)
+            u_keep = keep(u_new, u_prev)
+            v_keep = keep(v_new, v_prev)
+            nan = jnp.asarray(jnp.nan, mdtype)
+            metrics = {k: jnp.where(done, nan, v) for k, v in metrics.items()}
+
+            conv_iter = jnp.where(~done & now_done, idx + 1, conv_iter)
+            out = jnp.stack([metrics[k] for k in METRIC_KEYS], axis=-1)  # (B, K)
+            return (frozen_states, u_keep, v_keep, now_done, conv_iter), (
+                out, newly_conv)
+
+        B = u0.shape[0]
+        init = (states, u0, v0, jnp.zeros(B, bool),
+                jnp.full(B, -1, jnp.int32))
+        (states, _, _, done, conv_iter), (rows, conv_flags) = jax.lax.scan(
+            body, init, jnp.arange(chunk))
+        ever_conv = jnp.any(conv_flags, axis=0)
+        return states, done, conv_iter, ever_conv, rows
+
+    return jax.jit(chunk_fn)
+
+
+def run_batched_sweep(step_fn, get_uv, ops, states, tolerance: float,
+                      max_iterations: int, chunk: int = 200,
+                      warmup: int = WARMUP_ITERS,
+                      mesh: "jax.sharding.Mesh | None" = None,
+                      axis_name: str = "sweep") -> SweepResult:
+    """Drive a batch of solves to convergence.
+
+    With ``mesh`` given, the batch axis is sharded over ``mesh[axis_name]``
+    (lanes must divide the axis size); XLA then runs the identical program on
+    every chip with zero collectives — the TPU equivalent of the reference's
+    embarrassingly-parallel job arrays.
+    """
+    chunk = int(min(chunk, max(1, max_iterations)))
+    runner = make_batched_chunk_runner(step_fn, get_uv, chunk, tolerance, warmup)
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        def shard_leading(tree):
+            def put(x):
+                spec = P(axis_name, *([None] * (x.ndim - 1)))
+                return jax.device_put(x, NamedSharding(mesh, spec))
+            return jax.tree.map(put, tree)
+
+        ops = shard_leading(ops)
+        states = shard_leading(states)
+
+    history: List[np.ndarray] = []
+    conv_accum = None
+    t0 = time.time()
+    it = 0
+    while it < max_iterations:
+        states, done, conv_iter, ever_conv, rows = runner(
+            ops, states, jnp.asarray(it, jnp.int32))
+        done_h = np.asarray(done)
+        conv_accum = np.asarray(ever_conv) if conv_accum is None \
+            else (conv_accum | np.asarray(ever_conv))
+        n_ran = min(chunk, max_iterations - it)
+        history.append(np.asarray(rows)[:n_ran])  # (chunk, B, K)
+        it += n_ran
+        if done_h.all():
+            break
+    wall = time.time() - t0
+
+    conv_iter_h = np.asarray(conv_iter)
+    iterations = np.where(conv_iter_h > 0, conv_iter_h, it)
+    converged = conv_accum if conv_accum is not None else np.zeros(
+        iterations.shape, bool)
+    diverged = np.asarray(done) & ~converged
+
+    rows_all = np.concatenate(history, axis=0)  # (T, B, K)
+    hist = {}
+    for ki, key in enumerate(METRIC_KEYS):
+        hist[key] = rows_all[warmup:, :, ki].T  # (B, T-warmup)
+    return SweepResult(states=states, iterations=iterations,
+                       converged=converged, diverged=diverged,
+                       wall_time=wall, history=hist)

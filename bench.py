@@ -1,0 +1,155 @@
+#!/usr/bin/env python
+"""Throughput benchmark: spectral RK4 pseudo-timesteps/sec at N=128.
+
+This is the BASELINE.json primary metric ("timesteps/sec at spectral
+N=128"). The reference publishes no wall-time numbers (BASELINE.md), so
+``vs_baseline`` is measured against a faithful numpy float64 implementation
+of the same RK4/AC step — the per-iteration cost model of the reference's
+pure-numpy hot loop (sg.py:278-449) — run on this host.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+N = 128
+STEPS_PER_CALL = 200
+TARGET_SECONDS = 6.0
+
+
+def bench_device() -> tuple[float, dict]:
+    import jax
+    import jax.numpy as jnp
+
+    from anap3_tpu.models.params import SpectralParameters
+    from anap3_tpu.models import spectral_sg as core
+
+    params = SpectralParameters(
+        name="spectral", Re=1000.0, nx=N, ny=N, basis_type="chebyshev",
+        CFL=1.5, beta_squared=5.0, corner_treatment="smoothing",
+        corner_smoothing=0.15, dtype="float32",
+    )
+    ops, _ = core.build_spectral_ops(params)
+    state = core.initial_state(ops)
+
+    @jax.jit
+    def run_chunk(state):
+        def body(s, _):
+            s, _m = core.sg_step(ops, s)
+            return s, ()
+        s, _ = jax.lax.scan(body, state, None, length=STEPS_PER_CALL)
+        return s
+
+    # compile + warmup
+    t0 = time.time()
+    state = run_chunk(state)
+    jax.block_until_ready(state.u)
+    compile_s = time.time() - t0
+
+    # timed region: at least TARGET_SECONDS of steady-state stepping
+    n_calls = 0
+    t0 = time.time()
+    while time.time() - t0 < TARGET_SECONDS:
+        state = run_chunk(state)
+        n_calls += 1
+    jax.block_until_ready(state.u)
+    elapsed = time.time() - t0
+    steps = n_calls * STEPS_PER_CALL
+    rate = steps / elapsed
+    extras = {
+        "device": str(jax.devices()[0]),
+        "compile_seconds": round(compile_s, 2),
+        "steps_timed": steps,
+        "final_u_finite": bool(np.isfinite(np.asarray(state.u)).all()),
+    }
+    return rate, extras
+
+
+def bench_numpy_reference(max_steps: int = 30) -> float:
+    """Reference-equivalent numpy float64 RK4/AC step cost on this host."""
+    from anap3_tpu.models.params import SpectralParameters
+    from anap3_tpu.ops import basis as B
+    from anap3_tpu.ops.corner import lid_profile
+
+    params = SpectralParameters(nx=N, ny=N, basis_type="chebyshev",
+                                corner_treatment="smoothing")
+    bx = B.make_basis("chebyshev", (0.0, 1.0))
+    x = bx.nodes(N + 1)
+    Dx = bx.diff_matrix(N + 1)
+    Dxx = Dx @ Dx
+    Ix = B.inner_to_full_interp_matrix(x)
+    nf = N + 1
+    nu = 1.0 / 1000.0
+    beta_sq = 5.0
+    u = np.zeros((nf, nf))
+    v = np.zeros((nf, nf))
+    p = np.zeros((nf - 2, nf - 2))
+    u_lid = lid_profile(x, "smoothing", 0.15, 1.0, 1.0)
+    dx_min = np.min(np.diff(x))
+
+    def enforce(u, v):
+        u[0, :] = 0; u[-1, :] = 0; u[:, 0] = 0; u[:, -1] = u_lid
+        v[0, :] = 0; v[-1, :] = 0; v[:, 0] = 0; v[:, -1] = 0
+        return u, v
+
+    def residuals(u, v, p):
+        du_dx = Dx @ u
+        du_dy = u @ Dx.T
+        dv_dx = Dx @ v
+        dv_dy = v @ Dx.T
+        lap_u = Dxx @ u + u @ Dxx.T
+        lap_v = Dxx @ v + v @ Dxx.T
+        p_full = Ix @ p @ Ix.T
+        dp_dx = Dx @ p_full
+        dp_dy = p_full @ Dx.T
+        R_u = -(u * du_dx + v * du_dy) - dp_dx + nu * lap_u
+        R_v = -(u * dv_dx + v * dv_dy) - dp_dy + nu * lap_v
+        R_p = -beta_sq * (du_dx + dv_dy)[1:-1, 1:-1]
+        return R_u, R_v, R_p
+
+    u, v = enforce(u, v)
+    # one warm step
+    t0 = time.time()
+    steps = 0
+    while steps < max_steps and time.time() - t0 < TARGET_SECONDS:
+        u_max = max(np.max(np.abs(u)), 1.0)
+        v_max = max(np.max(np.abs(v)), 1e-10)
+        lam = ((u_max + np.sqrt(u_max**2 + beta_sq)) / dx_min
+               + nu / dx_min**2) * 2.0
+        dt = 1.5 / lam
+        u0, v0, p0 = u.copy(), v.copy(), p.copy()
+        for alpha in (0.25, 1 / 3, 0.5, 1.0):
+            R_u, R_v, R_p = residuals(u, v, p)
+            u = u0 + alpha * dt * R_u
+            v = v0 + alpha * dt * R_v
+            p = p0 + alpha * dt * R_p
+            u, v = enforce(u, v)
+        steps += 1
+    return steps / (time.time() - t0)
+
+
+def main():
+    rate, extras = bench_device()
+    ref_rate = bench_numpy_reference()
+    result = {
+        "metric": f"spectral_N{N}_rk4_timesteps_per_sec",
+        "value": round(rate, 1),
+        "unit": "timesteps/s",
+        "vs_baseline": round(rate / ref_rate, 2),
+        "baseline_numpy_steps_per_sec": round(ref_rate, 1),
+        **extras,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,358 @@
+#!/usr/bin/env python
+"""Unified entry point: solve, sweep, optimize and plot LDC runs.
+
+TPU-native counterpart of the reference driver (main.py + the Hydra multirun
+machinery + utilities/mlflow/callback.py), with identical user-facing
+semantics:
+
+    python main.py solver=fv N=32 Re=100                    # single run
+    python main.py -m +experiment/validation/ghia=spectral  # sweep
+    python main.py -m +experiment/optimization=corner_smoothing \
+        'solver.corner_smoothing=interval(0.02,0.35)'       # optimization
+    python main.py -m +experiment/validation/ghia=fv plot_only=true
+
+Differences by design:
+- sweeps run through the in-process sweep driver (optionally vmapped device
+  batches via anap3_tpu.parallel) instead of joblib subprocesses/LSF arrays;
+- tracking goes to the MLflow-compatible file store (utils/tracking.py);
+- the corner-smoothing optimization uses the built-in TPE sampler
+  (utils/optimize.py) instead of hydra-optuna-sweeper.
+"""
+
+from __future__ import annotations
+
+import logging
+import math
+import os
+import sys
+import tempfile
+from pathlib import Path
+
+REPO_ROOT = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO_ROOT))
+
+from anap3_tpu.utils import config as C  # noqa: E402
+from anap3_tpu.utils import tracking as T  # noqa: E402
+from anap3_tpu.utils.config import Interval  # noqa: E402
+from anap3_tpu.analysis import validation as V  # noqa: E402
+
+logging.basicConfig(
+    level=os.environ.get("LOGLEVEL", "INFO"),
+    format="[%(asctime)s][%(name)s][%(levelname)s] - %(message)s",
+)
+log = logging.getLogger("main")
+
+_LIVE_METRIC_NAMES = {
+    "rel_iter": "rel_iter_residual",
+    "u_eq": "u_residual",
+    "v_eq": "v_residual",
+    "continuity": "continuity_residual",
+    "energy": "energy",
+    "enstrophy": "enstrophy",
+}
+
+
+def get_experiment_name(cfg: dict) -> str:
+    name = cfg.get("experiment_name", "LDC-Dev")
+    prefix = cfg.get("mlflow", {}).get("project_prefix", "") or ""
+    if prefix and not name.startswith("/"):
+        return f"{prefix}/{name}"
+    return name
+
+
+def setup_tracking(cfg: dict) -> str:
+    T.set_tracking_uri(cfg.get("mlflow", {}).get("tracking_uri", "./mlruns"))
+    name = get_experiment_name(cfg)
+    try:
+        T.set_experiment(name)
+    except Exception as exc:  # degraded-store fallback (reference main.py:48-51)
+        name = f"{name}-restored"
+        log.warning("set_experiment failed (%s); using %r", exc, name)
+        T.set_experiment(name)
+    return name
+
+
+def find_existing_run(cfg: dict) -> str:
+    runs = T.search_runs(
+        get_experiment_name(cfg),
+        params={"Re": cfg["Re"], "nx": cfg["N"]},
+        status="FINISHED",
+    )
+    if not runs:
+        raise ValueError(f"No matching run found for N={cfg['N']}, Re={cfg['Re']}")
+    run_id = runs[0]["run_id"]
+    log.info("Found existing run: %s", run_id[:8])
+    return run_id
+
+
+def run_solver(cfg: dict, parent_run_id: str | None = None):
+    """Solve one configuration. Returns (run_id, validation_errors, solver)."""
+    solver = C.instantiate(cfg["solver"])
+    solver_name = cfg["solver"].get("name", "solver")
+
+    # spectral runs are named by node count N+1 (reference main.py:80-82)
+    N_display = cfg["N"] + 1 if solver_name.startswith("spectral") else cfg["N"]
+    run_name = f"{solver_name}_N{N_display}"
+
+    parent_run_id = parent_run_id or os.environ.get("MLFLOW_PARENT_RUN_ID")
+    tags = {"solver": solver_name}
+    if parent_run_id:
+        tags.update({"mlflow.parentRunId": parent_run_id,
+                     "parent_run_id": parent_run_id, "sweep": "child"})
+
+    with T.start_run(run_name=run_name, tags=tags) as run:
+        T.log_params(solver.params.to_mlflow())
+        T.log_dict(_plain(cfg), "config.yaml")
+
+        def live_log(iteration, metrics):
+            payload = {}
+            for key, name in _LIVE_METRIC_NAMES.items():
+                val = metrics.get(key)
+                if val is not None and not (isinstance(val, float) and math.isnan(val)):
+                    if key in ("energy", "enstrophy") and iteration < 10:
+                        continue
+                    payload[name] = float(val)
+            if payload:
+                T.log_metrics(payload, step=iteration)
+
+        solver._log_callback = live_log
+        log.info("Solving: %s N=%s Re=%s", solver_name, cfg["N"], cfg["Re"])
+        solver.solve()
+
+        reference_dir = cfg.get("validation", {}).get(
+            "reference_dir", "data/validation/fv")
+        validation_errors = solver.compute_validation_errors(
+            reference_dir=reference_dir, base_dir=REPO_ROOT)
+        if validation_errors:
+            T.log_metrics(validation_errors)
+
+        T.log_metrics(solver.metrics.to_mlflow())
+        if solver.time_series:
+            batch = solver.time_series.to_batch()
+            if batch:
+                T.log_batch(run.run_id, batch)
+
+        table = solver.validation_table(base_dir=REPO_ROOT)
+        if table:
+            T.log_table(table, "validation_metrics.json")
+
+        with tempfile.TemporaryDirectory() as tmpdir:
+            vts_path = Path(tmpdir) / "solution.vts"
+            solver.save_vtk(vts_path)
+            T.log_artifact(vts_path)
+
+        log.info("Done: %d iter, converged=%s, time=%.2fs",
+                 solver.metrics.iterations, solver.metrics.converged,
+                 solver.metrics.wall_time_seconds)
+        return run.run_id, validation_errors, solver
+
+
+def generate_plots(cfg: dict, run_id: str, output_dir=None):
+    from anap3_tpu.plotting import generate_plots_for_run
+
+    try:
+        generate_plots_for_run(
+            run_id=run_id,
+            tracking_uri=cfg.get("mlflow", {}).get("tracking_uri", "./mlruns"),
+            output_dir=output_dir or Path("outputs/plots") / run_id[:8],
+            solver_name=cfg["solver"].get("name", "solver"),
+            N=cfg["N"],
+            Re=cfg["Re"],
+            data_dir=REPO_ROOT / "data",
+        )
+    except Exception as exc:
+        log.warning("Plotting failed (likely diverged run): %s", exc)
+
+
+def compute_objective(cfg: dict, validation_errors: dict, solver) -> float:
+    objective_type = cfg.get("optuna", {}).get("objective", "fv_l2_error")
+    if objective_type == "multi":
+        raise ValueError("Multi-objective optimization is not supported; use "
+                         "objective=fv_l2_error or objective=botella_vortex")
+    if objective_type == "botella_vortex":
+        obj = V.botella_vortex_objective(solver.metrics, cfg["Re"],
+                                         base_dir=REPO_ROOT)
+    else:
+        obj = V.fv_l2_objective(validation_errors)
+    log.info("Objective (%s): %.6e", objective_type, obj)
+    return obj
+
+
+def _plain(node):
+    """Recursively convert Interval and Path values for YAML dumping."""
+    if isinstance(node, dict):
+        return {k: _plain(v) for k, v in node.items()}
+    if isinstance(node, list):
+        return [_plain(v) for v in node]
+    if isinstance(node, Interval):
+        return f"interval({node.lo}, {node.hi})"
+    if isinstance(node, Path):
+        return str(node)
+    return node
+
+
+# ---------------------------------------------------------------------------
+# Sweep / multirun driver (replaces Hydra multirun + MLflowSweepCallback)
+# ---------------------------------------------------------------------------
+
+
+def _get_or_create_parent(cfg: dict) -> str:
+    """Create/reuse a parent run per resolved sweep_name (callback.py:65-134)."""
+    sweep_name = str(cfg.get("sweep_name", "sweep"))
+    setup_tracking(cfg)
+    existing = T.search_runs(get_experiment_name(cfg),
+                             tags={"is_parent": "true",
+                                   "mlflow.runName": sweep_name})
+    if existing:
+        return existing[0]["run_id"]
+    run = T.start_run(run_name=sweep_name, tags={"is_parent": "true"})
+    T._state["stack"].pop()  # keep it open in the store but not on our stack
+    return run.run_id
+
+
+def run_multirun(overrides):
+    jobs = C.expand_multirun(REPO_ROOT / "conf", overrides)
+
+    # optimization path: any Interval value anywhere in the sweeper params
+    base = jobs[0]
+    interval_params = _collect_intervals(base)
+    if interval_params:
+        return run_optimization(overrides, interval_params)
+
+    parent_ids = {}
+    objectives = []
+    for i, cfg in enumerate(jobs):
+        log.info("=== multirun job %d/%d ===", i + 1, len(jobs))
+        parent_id = _get_or_create_parent(cfg)
+        parent_ids[parent_id] = cfg
+        if cfg.get("plot_only"):
+            run_id = find_existing_run(cfg)
+            generate_plots(cfg, run_id)
+            continue
+        try:
+            run_id, errors, solver = run_solver(cfg, parent_run_id=parent_id)
+            generate_plots(cfg, run_id)
+            objectives.append(compute_objective(cfg, errors, solver))
+        except FloatingPointError as exc:
+            log.warning("Job diverged: %s", exc)
+            objectives.append(float("inf"))
+
+    # post-sweep comparison plots on each parent (callback.py:316-356)
+    from anap3_tpu.plotting import generate_comparison_plots_for_sweep
+
+    for parent_id, cfg in parent_ids.items():
+        try:
+            generate_comparison_plots_for_sweep(
+                [parent_id], cfg.get("mlflow", {}).get("tracking_uri", "./mlruns"),
+                Path("outputs/comparisons"), data_dir=REPO_ROOT / "data")
+        except Exception as exc:
+            log.warning("Comparison plotting failed: %s", exc)
+    return objectives
+
+
+def _collect_intervals(cfg, prefix=""):
+    out = {}
+    if isinstance(cfg, dict):
+        for k, v in cfg.items():
+            path = f"{prefix}.{k}" if prefix else str(k)
+            if isinstance(v, Interval):
+                out[path] = v
+            elif isinstance(v, dict):
+                out.update(_collect_intervals(v, path))
+    return out
+
+
+def run_optimization(overrides, interval_params):
+    """TPE optimization loop over interval + categorical sweep params."""
+    from anap3_tpu.utils.optimize import TPESampler
+
+    base_overrides = [ov for ov in overrides if "interval(" not in ov]
+    base = C.compose(REPO_ROOT / "conf", base_overrides)
+    optuna_cfg = base.get("optuna", {})
+
+    space = dict(interval_params)
+    sweeper = base.get("hydra", {}).get("sweeper", {}).get("params", {}) or {}
+    for key, val in sweeper.items():
+        if key in space:
+            continue
+        parsed = C._parse_value(str(val))
+        if isinstance(parsed, Interval):
+            space[key] = parsed
+        elif isinstance(parsed, list):
+            space[key] = parsed
+
+    sampler = TPESampler(
+        space,
+        n_startup_trials=int(optuna_cfg.get("n_startup_trials", 5)),
+        seed=int(optuna_cfg.get("seed", 0)),
+        direction=str(optuna_cfg.get("direction", "minimize")),
+    )
+    n_trials = int(optuna_cfg.get("n_trials", 15))
+    parent_id = _get_or_create_parent(base)
+
+    for trial in range(n_trials):
+        params = sampler.ask()
+        trial_overrides = list(base_overrides) + [
+            f"{k}={v}" for k, v in params.items()]
+        cfg = C.compose(REPO_ROOT / "conf", trial_overrides)
+        log.info("=== optimization trial %d/%d: %s ===", trial + 1, n_trials,
+                 params)
+        try:
+            run_id, errors, solver = run_solver(cfg, parent_run_id=parent_id)
+            value = compute_objective(cfg, errors, solver)
+        except Exception as exc:
+            log.warning("Trial failed: %s", exc)
+            value = float("inf")
+        sampler.tell(params, value)
+
+    best_params, best_value = sampler.best
+    log.info("Best trial: %s -> %.6e", best_params, best_value)
+    # Optuna-style summary on the parent run (callback.py:219-313)
+    run = T.start_run(run_id=parent_id)
+    try:
+        T.log_table(
+            [{"trial": i, **p, "objective": v}
+             for i, (p, v) in enumerate(sampler.trials)],
+            "optuna_trials.json")
+        T.log_metrics({"best_objective": best_value})
+        for k, v in best_params.items():
+            if isinstance(v, (int, float)):
+                T.log_metrics({f"best_{k.replace('.', '_')}": float(v)})
+    finally:
+        T._state["stack"].pop()
+    return best_value
+
+
+# ---------------------------------------------------------------------------
+
+
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    multirun = False
+    overrides = []
+    for a in argv:
+        if a in ("-m", "--multirun"):
+            multirun = True
+        else:
+            overrides.append(a)
+
+    if multirun:
+        return run_multirun(overrides)
+
+    cfg = C.compose(REPO_ROOT / "conf", overrides)
+    log.info("Solver: %s, N=%s, Re=%s", cfg["solver"].get("name"), cfg["N"],
+             cfg["Re"])
+    log.info("Tracking experiment: %s", setup_tracking(cfg))
+
+    if cfg.get("plot_only"):
+        run_id = find_existing_run(cfg)
+        generate_plots(cfg, run_id)
+        return None
+
+    run_id, errors, solver = run_solver(cfg)
+    generate_plots(cfg, run_id)
+    return compute_objective(cfg, errors, solver)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,8 +1,10 @@
-"""Test configuration: run JAX on a virtual 8-device CPU mesh with x64 enabled.
+"""Test configuration: force LOCAL CPU with a virtual 8-device mesh.
 
-TPU hardware is not assumed for the test suite; multi-chip sharding tests use
-the forced host-platform device count. Numerics tests run in float64 (the
-library is dtype-parameterized; production TPU runs use float32).
+This image boots every Python process through an axon sitecustomize that
+registers a remote-TPU PJRT plugin and overrides ``JAX_PLATFORMS`` — so env
+vars alone are not enough; we must also flip ``jax_platforms`` after import.
+Tests must run on the local CPU (deterministic float64, no tunnel latency,
+and they must not hold the single TPU chip that bench.py needs).
 """
 
 import os
@@ -16,7 +18,9 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+assert jax.default_backend() == "cpu"
 
 import sys  # noqa: E402
 from pathlib import Path  # noqa: E402

@@ -1,0 +1,173 @@
+"""Tests for config composition, tracking, optimization, and the CLI driver."""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from anap3_tpu.utils import config as C
+from anap3_tpu.utils import tracking as T
+from anap3_tpu.utils.config import Interval
+from anap3_tpu.utils.optimize import TPESampler
+
+CONF = Path(__file__).resolve().parent.parent / "conf"
+
+
+class TestConfig:
+    def test_defaults_composition(self):
+        cfg = C.compose(CONF, [])
+        assert cfg["solver"]["_target_"].endswith("FVSolver")
+        assert cfg["solver"]["nx"] == cfg["N"] == 32
+        assert cfg["Re"] == 100
+        assert cfg["validation"]["reference_dir"] == "data/validation/fv"
+        assert cfg["mlflow"]["tracking_uri"] == "./mlruns"
+
+    def test_group_override_and_interpolation(self):
+        cfg = C.compose(CONF, ["solver=spectral/sg", "N=48", "Re=400"])
+        assert cfg["solver"]["_target_"].endswith("SGSolver")
+        assert cfg["solver"]["nx"] == 48
+        assert cfg["solver"]["Re"] == 400
+        assert cfg["solver"]["basis_type"] == "chebyshev"
+
+    def test_nested_solver_defaults(self):
+        cfg = C.compose(CONF, ["solver=spectral/fsg"])
+        # fsg extends sg: inherits CFL/basis, overrides target/name
+        assert cfg["solver"]["_target_"].endswith("FSGSolver")
+        assert cfg["solver"]["CFL"] == 1.5
+        assert cfg["solver"]["multigrid"] == "fsg"
+
+    def test_dotted_override(self):
+        cfg = C.compose(CONF, ["solver=spectral/sg",
+                               "solver.corner_smoothing=0.25"])
+        assert cfg["solver"]["corner_smoothing"] == 0.25
+
+    def test_experiment_overlay(self):
+        cfg = C.compose(CONF, ["+experiment/validation/ghia=spectral"])
+        assert cfg["experiment_name"] == "LDC-GHIA-PLOTS"
+        assert cfg["solver"]["corner_treatment"] == "smoothing"
+        assert cfg["hydra"]["sweeper"]["params"]["Re"] == 1000
+
+    def test_multirun_expansion(self):
+        jobs = C.expand_multirun(CONF, ["solver=spectral/sg", "N=16,32",
+                                        "Re=100,400"])
+        assert len(jobs) == 4
+        combos = {(j["N"], j["Re"]) for j in jobs}
+        assert combos == {(16, 100), (16, 400), (32, 100), (32, 400)}
+        for j in jobs:
+            assert j["solver"]["nx"] == j["N"]
+
+    def test_multirun_from_experiment_sweeper(self):
+        jobs = C.expand_multirun(CONF, ["+experiment/validation/ghia=spectral"])
+        assert len(jobs) == 3  # N: 16, 20, 32
+        assert all(j["solver"]["_target_"].endswith("FSGSolver") for j in jobs)
+
+    def test_interval_parsing(self):
+        cfg = C.compose(CONF, ["solver=spectral/sg",
+                               "solver.corner_smoothing=interval(0.02,0.35)"])
+        iv = cfg["solver"]["corner_smoothing"]
+        assert isinstance(iv, Interval)
+        assert iv.lo == 0.02 and iv.hi == 0.35
+
+    def test_scientific_notation(self):
+        cfg = C.compose(CONF, ["tolerance=1e-5"])
+        assert cfg["tolerance"] == 1e-5
+        assert isinstance(cfg["tolerance"], float)
+
+    def test_instantiate(self):
+        cfg = C.compose(CONF, ["solver=fv", "N=8", "max_iterations=10"])
+        solver = C.instantiate(cfg["solver"])
+        from anap3_tpu.models.fv import FVSolver
+
+        assert isinstance(solver, FVSolver)
+        assert solver.params.nx == 8
+
+    def test_env_interpolation(self, monkeypatch):
+        monkeypatch.setenv("MLFLOW_TRACKING_URI", "/tmp/test-mlruns")
+        cfg = C.compose(CONF, ["mlflow=remote"])
+        assert cfg["mlflow"]["tracking_uri"] == "/tmp/test-mlruns"
+
+
+class TestTracking:
+    def test_parent_child_and_queries(self, tmp_path):
+        T.set_tracking_uri(tmp_path / "mlruns")
+        T.set_experiment("Exp")
+        with T.start_run(run_name="parent", tags={"is_parent": "true"}) as par:
+            with T.start_run(run_name="child", nested=True) as child:
+                T.log_params({"Re": 100, "nx": 32})
+                T.log_metrics({"rel_iter_residual": 0.5}, step=0)
+                T.log_batch(child.run_id, [("energy", 0.1, 0), ("energy", 0.2, 1)])
+                T.log_dict({"a": 1}, "config.yaml")
+                T.log_table([{"x": 1, "y": 2}], "validation_metrics.json")
+        runs = T.search_runs("Exp", params={"Re": 100}, status="FINISHED")
+        assert len(runs) == 1
+        assert runs[0]["tags"]["mlflow.parentRunId"] == par.run_id
+        assert T.get_metric_history(child.run_id, "energy") == [(0, 0.1), (1, 0.2)]
+        kids = T.search_runs("Exp", parent_run_id=par.run_id)
+        assert [k["run_id"] for k in kids] == [child.run_id]
+        table = json.loads((Path(kids[0]["path"]) / "artifacts" /
+                            "validation_metrics.json").read_text())
+        assert table["columns"] == ["x", "y"]
+
+    def test_experiment_reuse(self, tmp_path):
+        T.set_tracking_uri(tmp_path / "mlruns")
+        e1 = T.set_experiment("Same")
+        e2 = T.set_experiment("Same")
+        assert e1 == e2
+
+
+class TestTPE:
+    def test_converges_on_quadratic(self):
+        sampler = TPESampler({"x": Interval(0.0, 1.0)}, n_startup_trials=4,
+                             seed=1)
+        for _ in range(30):
+            p = sampler.ask()
+            sampler.tell(p, (p["x"] - 0.3) ** 2)
+        best, val = sampler.best
+        assert abs(best["x"] - 0.3) < 0.08
+        assert val < 0.01
+
+    def test_categorical_and_inf_handling(self):
+        sampler = TPESampler({"n": [10, 20, 30], "x": Interval(0, 1)},
+                             n_startup_trials=3, seed=2)
+        for _ in range(15):
+            p = sampler.ask()
+            val = float("inf") if p["n"] == 10 else (p["x"] - 0.5) ** 2
+            sampler.tell(p, val)
+        best, _ = sampler.best
+        assert best["n"] != 10
+
+
+class TestMainDriver:
+    def test_single_run_end_to_end(self, tmp_path, monkeypatch):
+        monkeypatch.chdir(tmp_path)
+        import main as M
+
+        obj = M.main(["solver=fv", "N=10", "Re=100", "tolerance=1e-4",
+                      "max_iterations=800", "experiment_name=TestE2E",
+                      "mlflow.tracking_uri=" + str(tmp_path / "mlruns")])
+        assert np.isfinite(obj)
+        runs = T.search_runs("TestE2E", status="FINISHED")
+        assert len(runs) == 1
+        run = runs[0]
+        assert run["params"]["Re"] == "100.0" or run["params"]["Re"] == "100"
+        assert "u_L2_error" in run["metrics"]
+        assert "psi_min" in run["metrics"]
+        art = Path(run["path"]) / "artifacts"
+        assert (art / "solution.vts").exists()
+        assert (art / "config.yaml").exists()
+        assert (art / "validation_metrics.json").exists()
+        assert (art / "plots" / "convergence.pdf").exists()
+        assert (art / "plots" / "ghia_comparison.pdf").exists()
+        assert (art / "plots" / "streamlines.png").exists()
+
+    def test_plot_only_finds_existing_run(self, tmp_path, monkeypatch):
+        monkeypatch.chdir(tmp_path)
+        import main as M
+
+        over = ["solver=fv", "N=10", "Re=100", "tolerance=1e-4",
+                "max_iterations=800", "experiment_name=TestPlotOnly",
+                "mlflow.tracking_uri=" + str(tmp_path / "mlruns")]
+        M.main(over)
+        out = M.main(over + ["plot_only=true"])
+        assert out is None

@@ -1,0 +1,168 @@
+"""Tests for vmapped sweep batches and mesh-sharded execution."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from anap3_tpu.models.params import SpectralParameters
+from anap3_tpu.models import spectral_sg as core
+from anap3_tpu.models.runner import run_fixed_point
+from anap3_tpu.parallel import sweep as sweep_mod
+from anap3_tpu.parallel import spatial
+
+
+def make_params(Re, n=12, **over):
+    base = dict(name="spectral", Re=Re, nx=n, ny=n, basis_type="chebyshev",
+                CFL=1.5, beta_squared=5.0, corner_treatment="smoothing",
+                corner_smoothing=0.15, tolerance=1e-4, max_iterations=4000,
+                dtype="float64")
+    base.update(over)
+    return SpectralParameters(**base)
+
+
+class TestBatchedSweep:
+    def test_batch_matches_individual_solves(self):
+        """Every lane of a vmapped sweep must land on the same steady state as
+        its standalone solve.
+
+        Iteration counts are NOT compared exactly: the relative-iterate
+        residual oscillates around the tolerance, so the first crossing is
+        sensitive to the last-ulp differences between batched and unbatched
+        XLA matmul kernels. The converged physics must agree to tolerance.
+        """
+        n_fixed = 400  # fixed horizon: trajectory parity, no stopping noise
+        res_single = {}
+        opses, states = [], []
+        for Re in (100.0, 400.0):
+            p = make_params(Re)
+            ops, _ = core.build_spectral_ops(p)
+            state = core.initial_state(ops)
+            opses.append(ops)
+            states.append(state)
+            r = run_fixed_point(lambda s, o=ops: core.sg_step(o, s),
+                                lambda s: (s.u, s.v), state,
+                                tolerance=1e-14, max_iterations=n_fixed)
+            res_single[Re] = r
+
+        batched_ops = sweep_mod.stack_ops(opses)
+        batched_states = jax.tree.map(lambda *a: jnp.stack(a), *states)
+        res = sweep_mod.run_batched_sweep(
+            core.sg_step, lambda s: (s.u, s.v), batched_ops, batched_states,
+            tolerance=1e-14, max_iterations=n_fixed, chunk=100)
+
+        for k, Re in enumerate((100.0, 400.0)):
+            single = res_single[Re]
+            np.testing.assert_allclose(np.asarray(res.states.u[k]),
+                                       np.asarray(single.state.u),
+                                       rtol=1e-8, atol=1e-10)
+            # recorded per-lane histories agree too
+            np.testing.assert_allclose(
+                res.history["energy"][k][:50],
+                np.asarray(single.history["energy"][:50]), rtol=1e-8)
+
+    def test_diverged_lane_isolation(self):
+        """A NaN lane must freeze without corrupting healthy lanes."""
+        good = make_params(100.0)
+        bad = make_params(100.0, CFL=50.0)  # wildly unstable
+        opses = []
+        states = []
+        for p in (good, bad):
+            ops, _ = core.build_spectral_ops(p)
+            opses.append(ops)
+            states.append(core.initial_state(ops))
+        batched_ops = sweep_mod.stack_ops(opses)
+        batched_states = jax.tree.map(lambda *a: jnp.stack(a), *states)
+        res = sweep_mod.run_batched_sweep(
+            core.sg_step, lambda s: (s.u, s.v), batched_ops, batched_states,
+            tolerance=1e-4, max_iterations=3000, chunk=100)
+        assert res.converged[0] and not res.diverged[0]
+        assert res.diverged[1]
+        assert np.all(np.isfinite(np.asarray(res.states.u[0])))
+
+    def test_sweep_sharded_over_mesh(self):
+        """Batch axis sharded over an 8-device mesh still matches."""
+        devs = jax.devices()
+        if len(devs) < 8:
+            pytest.skip("needs 8 virtual devices")
+        mesh = Mesh(np.array(devs[:8]), ("sweep",))
+        opses, states = [], []
+        for k in range(8):
+            p = make_params(100.0 + 50.0 * k)
+            ops, _ = core.build_spectral_ops(p)
+            opses.append(ops)
+            states.append(core.initial_state(ops))
+        batched_ops = sweep_mod.stack_ops(opses)
+        batched_states = jax.tree.map(lambda *a: jnp.stack(a), *states)
+        res = sweep_mod.run_batched_sweep(
+            core.sg_step, lambda s: (s.u, s.v), batched_ops, batched_states,
+            tolerance=1e-14, max_iterations=300, chunk=100, mesh=mesh)
+        # lane 0 equals a non-sharded standalone run over the same horizon
+        p0 = make_params(100.0)
+        ops0, _ = core.build_spectral_ops(p0)
+        r0 = run_fixed_point(lambda s: core.sg_step(ops0, s),
+                             lambda s: (s.u, s.v), core.initial_state(ops0),
+                             tolerance=1e-14, max_iterations=300)
+        np.testing.assert_allclose(np.asarray(res.states.u[0]),
+                                   np.asarray(r0.state.u), rtol=1e-8,
+                                   atol=1e-10)
+
+
+class TestSpatialSharding:
+    def test_sharded_step_matches_reference(self):
+        devs = jax.devices()
+        if len(devs) < 4:
+            pytest.skip("needs 4 virtual devices")
+        mesh = Mesh(np.array(devs[:4]).reshape(1, 4), ("sweep", "x"))
+        n = 15  # nf = 16 divisible by 4
+        p = make_params(100.0, n=n, dtype="float64")
+        sh_ops, grid = spatial.build_sharded_ops(p, dtype=jnp.float64)
+        base_ops, _ = core.build_spectral_ops(p, dtype=jnp.float64)
+        s0 = core.initial_state(base_ops)
+        nf = n + 1
+        u = jnp.broadcast_to(s0.u, (1, nf, nf))
+        v = jnp.broadcast_to(s0.v, (1, nf, nf))
+        pp = spatial.pad_pressure(jnp.broadcast_to(s0.p, (1, nf - 2, nf - 2)))
+
+        from jax.sharding import NamedSharding
+
+        spec_tree = spatial.make_step_ops_spec()
+        sh_ops = jax.tree.map(
+            lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+            sh_ops, spec_tree)
+        u, v, pp = spatial.shard_state(mesh, (u, v, pp), batch_axis="sweep")
+        step = spatial.make_sharded_step(mesh, batch_axis="sweep")
+
+        ref_state, _ = core.sg_step(base_ops, s0)
+        u2, v2, p2 = step(sh_ops, u, v, pp)
+        np.testing.assert_allclose(np.asarray(u2[0]), np.asarray(ref_state.u),
+                                   rtol=1e-10, atol=1e-12)
+        np.testing.assert_allclose(
+            np.asarray(spatial.unpad_pressure(p2[0])),
+            np.asarray(ref_state.p), rtol=1e-10, atol=1e-12)
+
+        # multiple sharded steps stay consistent
+        s = ref_state
+        for _ in range(4):
+            u2, v2, p2 = step(sh_ops, u2, v2, p2)
+            s, _ = core.sg_step(base_ops, s)
+        np.testing.assert_allclose(np.asarray(u2[0]), np.asarray(s.u),
+                                   rtol=1e-8, atol=1e-10)
+
+
+class TestGraftEntry:
+    def test_entry_compiles(self):
+        import __graft_entry__ as G
+
+        fn, (ops, state) = G.entry()
+        out = jax.jit(fn)(ops, state)
+        assert out.u.shape == (129, 129)
+        assert np.isfinite(np.asarray(out.u)).all()
+
+    def test_dryrun_multichip(self):
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        import __graft_entry__ as G
+
+        G.dryrun_multichip(8)
