@@ -39,6 +39,9 @@ class Parameters:
     method: str = ""
     # TPU-specific: working precision for the device hot path.
     dtype: str = "float64"
+    # Mid-solve checkpoint/resume (utils/checkpoint.py). Empty = disabled.
+    checkpoint_dir: str = ""
+    checkpoint_every_chunks: int = 10
 
     def to_mlflow(self) -> dict:
         return {

@@ -144,24 +144,30 @@ def run_fixed_point(
     warmup: int = WARMUP_ITERS,
     log_callback: Optional[Callable[[int, Dict[str, float]], None]] = None,
     log_every: int = 50,
+    checkpoint_mgr=None,
+    start_iteration: int = 0,
 ) -> IterationResult:
     """Run ``step_fn`` to convergence with reference-exact semantics.
 
     ``log_callback(iteration, metrics_dict)`` is invoked (outside the timed
     region, like the reference's excluded MLflow time, base.py:288-316) for
     every ``log_every``-th iteration using the recorded per-step metrics.
+
+    ``checkpoint_mgr`` (utils.checkpoint.CheckpointManager) persists the
+    state pytree every K chunks; ``start_iteration`` resumes the global
+    iteration counter after a restore (pre-resume history is not replayed).
     """
     chunk = int(min(chunk, max(1, max_iterations)))
     runner = make_chunk_runner(step_fn, get_uv, chunk, tolerance, warmup)
 
     history_rows: List[np.ndarray] = []
-    iterations = 0
+    iterations = start_iteration
     converged = False
     diverged = False
     log_time = 0.0
     t0 = time.time()
 
-    it = 0
+    it = start_iteration
     while it < max_iterations:
         state, done, conv_iter, chunk_converged, rows = runner(
             state, jnp.asarray(it, dtype=jnp.int32)
@@ -190,6 +196,10 @@ def run_fixed_point(
             log_time += time.time() - t_log
 
         it += n_ran
+        if checkpoint_mgr is not None and not done_host:
+            t_ck = time.time()
+            checkpoint_mgr.maybe_save(state, it)
+            log_time += time.time() - t_ck
         if done_host:
             break
 

@@ -57,6 +57,17 @@ class SGSolver(CavitySolver):
         def step(state):
             return core.sg_step(ops, state)
 
+        ckpt_mgr, start_iter = None, 0
+        if self.params.checkpoint_dir:
+            from ..utils.checkpoint import CheckpointManager
+
+            ckpt_mgr = CheckpointManager(
+                self.params.checkpoint_dir, self.params,
+                every_chunks=self.params.checkpoint_every_chunks)
+            self.state, start_iter = ckpt_mgr.restore_or(self.state)
+            if start_iter:
+                log.info("Resumed from checkpoint at iteration %d", start_iter)
+
         result = run_fixed_point(
             step,
             lambda s: (s.u, s.v),
@@ -64,6 +75,8 @@ class SGSolver(CavitySolver):
             tolerance=tol,
             max_iterations=max_iter,
             log_callback=self._log_callback,
+            checkpoint_mgr=ckpt_mgr,
+            start_iteration=start_iter,
         )
         self.state = result.state
         self._store_results(result)

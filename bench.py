@@ -22,13 +22,29 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 N = 128
-STEPS_PER_CALL = 200
+STEPS_PER_CALL = 50
 TARGET_SECONDS = 6.0
+
+
+def _enable_compile_cache():
+    """Persistent XLA compile cache — first-compile over the remote-compile
+    tunnel costs minutes; cached reruns cost milliseconds."""
+    import jax
+
+    cache_dir = Path(__file__).resolve().parent / ".jax_cache"
+    cache_dir.mkdir(exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", str(cache_dir))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
 
 
 def bench_device() -> tuple[float, dict]:
     import jax
     import jax.numpy as jnp
+
+    _enable_compile_cache()
 
     from anap3_tpu.models.params import SpectralParameters
     from anap3_tpu.models import spectral_sg as core
@@ -55,12 +71,16 @@ def bench_device() -> tuple[float, dict]:
     jax.block_until_ready(state.u)
     compile_s = time.time() - t0
 
-    # timed region: at least TARGET_SECONDS of steady-state stepping
+    # timed region: at least TARGET_SECONDS of steady-state stepping.
+    # Sync every few calls to keep the dispatch queue bounded while still
+    # overlapping host dispatch with device execution.
     n_calls = 0
     t0 = time.time()
     while time.time() - t0 < TARGET_SECONDS:
         state = run_chunk(state)
         n_calls += 1
+        if n_calls % 40 == 0:
+            jax.block_until_ready(state.u)
     jax.block_until_ready(state.u)
     elapsed = time.time() - t0
     steps = n_calls * STEPS_PER_CALL

@@ -31,6 +31,21 @@ from pathlib import Path
 REPO_ROOT = Path(__file__).resolve().parent
 sys.path.insert(0, str(REPO_ROOT))
 
+
+def _load_dotenv(path=None):
+    """Minimal .env loader (reference uses python-dotenv, main.py:22)."""
+    path = Path(path or REPO_ROOT / ".env")
+    if not path.exists():
+        return
+    for line in path.read_text().splitlines():
+        line = line.strip()
+        if line and not line.startswith("#") and "=" in line:
+            key, _, val = line.partition("=")
+            os.environ.setdefault(key.strip(), val.strip())
+
+
+_load_dotenv()
+
 from anap3_tpu.utils import config as C  # noqa: E402
 from anap3_tpu.utils import tracking as T  # noqa: E402
 from anap3_tpu.utils.config import Interval  # noqa: E402
@@ -85,40 +100,39 @@ def find_existing_run(cfg: dict) -> str:
     return run_id
 
 
-def run_solver(cfg: dict, parent_run_id: str | None = None):
-    """Solve one configuration. Returns (run_id, validation_errors, solver)."""
-    solver = C.instantiate(cfg["solver"])
+def _live_log(iteration, metrics):
+    payload = {}
+    for key, name in _LIVE_METRIC_NAMES.items():
+        val = metrics.get(key)
+        if val is not None and not (isinstance(val, float) and math.isnan(val)):
+            if key in ("energy", "enstrophy") and iteration < 10:
+                continue
+            payload[name] = float(val)
+    if payload:
+        T.log_metrics(payload, step=iteration)
+
+
+def log_solver_results(cfg: dict, solver, parent_run_id: str | None = None,
+                       run=None):
+    """Log a SOLVED solver's results (params/metrics/artifacts/tables).
+
+    Returns (run_id, validation_errors). ``run`` may be an already-open run
+    (live-logged path); otherwise one is created and closed here.
+    """
     solver_name = cfg["solver"].get("name", "solver")
-
-    # spectral runs are named by node count N+1 (reference main.py:80-82)
-    N_display = cfg["N"] + 1 if solver_name.startswith("spectral") else cfg["N"]
-    run_name = f"{solver_name}_N{N_display}"
-
-    parent_run_id = parent_run_id or os.environ.get("MLFLOW_PARENT_RUN_ID")
-    tags = {"solver": solver_name}
-    if parent_run_id:
-        tags.update({"mlflow.parentRunId": parent_run_id,
-                     "parent_run_id": parent_run_id, "sweep": "child"})
-
-    with T.start_run(run_name=run_name, tags=tags) as run:
+    own_run = run is None
+    if own_run:
+        # spectral runs are named by node count N+1 (reference main.py:80-82)
+        N_display = (cfg["N"] + 1 if solver_name.startswith("spectral")
+                     else cfg["N"])
+        tags = {"solver": solver_name}
+        if parent_run_id:
+            tags.update({"mlflow.parentRunId": parent_run_id,
+                         "parent_run_id": parent_run_id, "sweep": "child"})
+        run = T.start_run(run_name=f"{solver_name}_N{N_display}", tags=tags)
         T.log_params(solver.params.to_mlflow())
         T.log_dict(_plain(cfg), "config.yaml")
-
-        def live_log(iteration, metrics):
-            payload = {}
-            for key, name in _LIVE_METRIC_NAMES.items():
-                val = metrics.get(key)
-                if val is not None and not (isinstance(val, float) and math.isnan(val)):
-                    if key in ("energy", "enstrophy") and iteration < 10:
-                        continue
-                    payload[name] = float(val)
-            if payload:
-                T.log_metrics(payload, step=iteration)
-
-        solver._log_callback = live_log
-        log.info("Solving: %s N=%s Re=%s", solver_name, cfg["N"], cfg["Re"])
-        solver.solve()
-
+    try:
         reference_dir = cfg.get("validation", {}).get(
             "reference_dir", "data/validation/fv")
         validation_errors = solver.compute_validation_errors(
@@ -126,7 +140,10 @@ def run_solver(cfg: dict, parent_run_id: str | None = None):
         if validation_errors:
             T.log_metrics(validation_errors)
 
-        T.log_metrics(solver.metrics.to_mlflow())
+        metrics = solver.metrics.to_mlflow()
+        wall = max(solver.metrics.wall_time_seconds, 1e-9)
+        metrics["timesteps_per_sec"] = solver.metrics.iterations / wall
+        T.log_metrics(metrics)
         if solver.time_series:
             batch = solver.time_series.to_batch()
             if batch:
@@ -140,11 +157,41 @@ def run_solver(cfg: dict, parent_run_id: str | None = None):
             vts_path = Path(tmpdir) / "solution.vts"
             solver.save_vtk(vts_path)
             T.log_artifact(vts_path)
-
         log.info("Done: %d iter, converged=%s, time=%.2fs",
                  solver.metrics.iterations, solver.metrics.converged,
                  solver.metrics.wall_time_seconds)
-        return run.run_id, validation_errors, solver
+        return run.run_id, validation_errors
+    finally:
+        if own_run:
+            end = T.end_run
+            end()
+
+
+def run_solver(cfg: dict, parent_run_id: str | None = None):
+    """Solve one configuration. Returns (run_id, validation_errors, solver)."""
+    solver = C.instantiate(cfg["solver"])
+    solver_name = cfg["solver"].get("name", "solver")
+    N_display = cfg["N"] + 1 if solver_name.startswith("spectral") else cfg["N"]
+    run_name = f"{solver_name}_N{N_display}"
+
+    parent_run_id = parent_run_id or os.environ.get("MLFLOW_PARENT_RUN_ID")
+    tags = {"solver": solver_name}
+    if parent_run_id:
+        tags.update({"mlflow.parentRunId": parent_run_id,
+                     "parent_run_id": parent_run_id, "sweep": "child"})
+
+    with T.start_run(run_name=run_name, tags=tags) as run:
+        T.log_params(solver.params.to_mlflow())
+        T.log_dict(_plain(cfg), "config.yaml")
+        solver._log_callback = _live_log
+        log.info("Solving: %s N=%s Re=%s", solver_name, cfg["N"], cfg["Re"])
+        from anap3_tpu.utils.profiling import device_trace
+
+        with device_trace(os.environ.get("ANAP3_TRACE_DIR")):
+            solver.solve()
+        run_id, validation_errors = log_solver_results(
+            cfg, solver, parent_run_id, run=run)
+        return run_id, validation_errors, solver
 
 
 def generate_plots(cfg: dict, run_id: str, output_dir=None):
@@ -210,6 +257,107 @@ def _get_or_create_parent(cfg: dict) -> str:
     return run.run_id
 
 
+_BATCHABLE_SOLVERS = {
+    "anap3_tpu.models.spectral.SGSolver",
+    "anap3_tpu.models.fv.FVSolver",
+}
+# solver keys that may differ between lanes of one vmapped batch (they live
+# as arrays in the ops pytree); everything else must be lane-identical.
+_BATCHABLE_VARYING = {"Re", "corner_smoothing", "corner_treatment", "CFL",
+                      "beta_squared", "lid_velocity"}
+
+
+def _batchable(jobs) -> bool:
+    if len(jobs) < 2:
+        return False
+    first = jobs[0]["solver"]
+    if first.get("_target_") not in _BATCHABLE_SOLVERS:
+        return False
+    for cfg in jobs[1:]:
+        s = cfg["solver"]
+        if s.get("_target_") != first.get("_target_"):
+            return False
+        for key in set(first) | set(s):
+            if key in _BATCHABLE_VARYING:
+                continue
+            if s.get(key) != first.get(key):
+                return False
+    return True
+
+
+def run_multirun_batched(jobs):
+    """All sweep members in ONE vmapped device batch (see parallel.sweep)."""
+    from anap3_tpu.models.runner import IterationResult, WARMUP_ITERS
+    from anap3_tpu.parallel import run_batched_sweep, stack_ops
+    import jax
+
+    solvers = [C.instantiate(cfg["solver"]) for cfg in jobs]
+    first = solvers[0]
+    if type(first).__name__ == "SGSolver":
+        from anap3_tpu.models import spectral_sg as sgcore
+
+        step_fn = sgcore.sg_step
+    else:
+        from anap3_tpu.models.fv import fv_step
+
+        step_fn = fv_step
+
+    import jax.numpy as jnp
+
+    ops = stack_ops([s.ops for s in solvers])
+    states = jax.tree.map(lambda *a: jnp.stack(a), *[s.state for s in solvers])
+
+    # shard the batch axis over the device mesh when lanes divide evenly
+    mesh = None
+    devices = jax.devices()
+    if len(devices) > 1 and len(jobs) % len(devices) == 0:
+        from jax.sharding import Mesh
+        import numpy as np
+
+        mesh = Mesh(np.array(devices), ("sweep",))
+        log.info("Sharding %d lanes over %d devices", len(jobs), len(devices))
+
+    log.info("Batched sweep: %d lanes of %s (N=%s)", len(jobs),
+             type(first).__name__, jobs[0]["N"])
+    res = run_batched_sweep(
+        step_fn, lambda s: (s.u, s.v), ops, states,
+        tolerance=float(jobs[0]["tolerance"]),
+        max_iterations=int(jobs[0]["max_iterations"]), mesh=mesh)
+
+    objectives = []
+    parent_ids = {}
+    for k, (cfg, solver) in enumerate(zip(jobs, solvers)):
+        parent_id = _get_or_create_parent(cfg)
+        parent_ids[parent_id] = cfg
+        solver.state = jax.tree.map(lambda x: x[k], res.states)
+        n_rec = max(0, int(res.iterations[k]) - WARMUP_ITERS)
+        history = {key: res.history[key][k][:n_rec].tolist()
+                   for key in res.history}
+        result = IterationResult(
+            state=solver.state, iterations=int(res.iterations[k]),
+            converged=bool(res.converged[k]), diverged=bool(res.diverged[k]),
+            wall_time=res.wall_time / len(jobs), history=history)
+        solver._store_results(result)
+        run_id, errors = log_solver_results(cfg, solver, parent_id)
+        generate_plots(cfg, run_id)
+        objectives.append(compute_objective(cfg, errors, solver))
+    _sweep_comparison_plots(parent_ids)
+    return objectives
+
+
+def _sweep_comparison_plots(parent_ids):
+    from anap3_tpu.plotting import generate_comparison_plots_for_sweep
+
+    for parent_id, cfg in parent_ids.items():
+        try:
+            generate_comparison_plots_for_sweep(
+                [parent_id],
+                cfg.get("mlflow", {}).get("tracking_uri", "./mlruns"),
+                Path("outputs/comparisons"), data_dir=REPO_ROOT / "data")
+        except Exception as exc:
+            log.warning("Comparison plotting failed: %s", exc)
+
+
 def run_multirun(overrides):
     jobs = C.expand_multirun(REPO_ROOT / "conf", overrides)
 
@@ -218,6 +366,10 @@ def run_multirun(overrides):
     interval_params = _collect_intervals(base)
     if interval_params:
         return run_optimization(overrides, interval_params)
+
+    vmap_ok = base.get("machine", {}).get("vmap_sweeps", True)
+    if vmap_ok and _batchable(jobs) and not base.get("plot_only"):
+        return run_multirun_batched(jobs)
 
     parent_ids = {}
     objectives = []
@@ -238,15 +390,7 @@ def run_multirun(overrides):
             objectives.append(float("inf"))
 
     # post-sweep comparison plots on each parent (callback.py:316-356)
-    from anap3_tpu.plotting import generate_comparison_plots_for_sweep
-
-    for parent_id, cfg in parent_ids.items():
-        try:
-            generate_comparison_plots_for_sweep(
-                [parent_id], cfg.get("mlflow", {}).get("tracking_uri", "./mlruns"),
-                Path("outputs/comparisons"), data_dir=REPO_ROOT / "data")
-        except Exception as exc:
-            log.warning("Comparison plotting failed: %s", exc)
+    _sweep_comparison_plots(parent_ids)
     return objectives
 
 

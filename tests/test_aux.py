@@ -1,0 +1,109 @@
+"""Tests for auxiliary subsystems: checkpoint/resume, profiling, submission."""
+
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from anap3_tpu.models.params import SpectralParameters
+from anap3_tpu.models.spectral import SGSolver
+from anap3_tpu.utils.checkpoint import (CheckpointManager, load_checkpoint,
+                                        save_checkpoint)
+from anap3_tpu.utils.profiling import PhaseTimer
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def make_params(**over):
+    base = dict(name="spectral", Re=100.0, nx=12, ny=12,
+                basis_type="chebyshev", CFL=1.5, corner_treatment="smoothing",
+                tolerance=1e-4, max_iterations=4000, dtype="float64")
+    base.update(over)
+    return SpectralParameters(**base)
+
+
+class TestCheckpoint:
+    def test_roundtrip(self, tmp_path):
+        from anap3_tpu.models import spectral_sg as core
+
+        ops, _ = core.build_spectral_ops(make_params())
+        state = core.initial_state(ops)
+        save_checkpoint(tmp_path / "c.npz", state, 123, "fp")
+        restored, it = load_checkpoint(tmp_path / "c.npz", state)
+        assert it == 123
+        np.testing.assert_array_equal(np.asarray(restored.u),
+                                      np.asarray(state.u))
+
+    def test_manager_gc_and_restore(self, tmp_path):
+        from anap3_tpu.models import spectral_sg as core
+
+        ops, _ = core.build_spectral_ops(make_params())
+        state = core.initial_state(ops)
+        mgr = CheckpointManager(tmp_path, every_chunks=1, keep=2)
+        for it in (100, 200, 300):
+            mgr.maybe_save(state, it)
+        cpts = sorted(tmp_path.glob("ckpt_*.npz"))
+        assert len(cpts) == 2  # oldest garbage-collected
+        restored, it = mgr.restore_or(state)
+        assert it == 300
+
+    def test_solver_resume_continues_iterations(self, tmp_path):
+        """Interrupt a solve, resume, final state ~ uninterrupted solve."""
+        p_full = make_params(tolerance=1e-5, max_iterations=6000)
+        ref = SGSolver(params=p_full)
+        ref.solve()
+
+        ckdir = str(tmp_path / "ck")
+        p_a = make_params(tolerance=1e-5, max_iterations=500,
+                          checkpoint_dir=ckdir, checkpoint_every_chunks=1)
+        a = SGSolver(params=p_a)
+        a.solve()  # stops at max_iterations=500 with checkpoints written
+        assert Path(ckdir).exists() and list(Path(ckdir).glob("ckpt_*.npz"))
+
+        p_b = make_params(tolerance=1e-5, max_iterations=6000,
+                          checkpoint_dir=ckdir, checkpoint_every_chunks=1)
+        b = SGSolver(params=p_b)
+        b.solve()  # resumes from ~iteration 500
+        assert b.metrics.converged
+        assert b.metrics.iterations > 500
+        np.testing.assert_allclose(np.asarray(b.state.u),
+                                   np.asarray(ref.state.u), atol=2e-3)
+
+
+class TestProfiling:
+    def test_phase_timer(self):
+        t = PhaseTimer()
+        with t.phase("setup"):
+            pass
+        with t.phase("solve"):
+            pass
+        m = t.as_metrics()
+        assert set(m) == {"time_setup_seconds", "time_solve_seconds"}
+        assert all(v >= 0 for v in m.values())
+
+
+class TestHpcSubmit:
+    @pytest.mark.parametrize("backend", ["lsf", "shell"])
+    def test_generates_script_and_parent(self, tmp_path, monkeypatch, backend):
+        monkeypatch.chdir(tmp_path)
+        out = tmp_path / "submit.sh"
+        result = subprocess.run(
+            [sys.executable, str(REPO / "scripts/hpc_submit.py"),
+             "+experiment/validation/ghia=spectral",
+             f"mlflow.tracking_uri={tmp_path / 'mlruns'}",
+             "--backend", backend, "--out", str(out)],
+            capture_output=True, text=True, cwd=tmp_path,
+            env={"PATH": "/usr/bin:/bin", "JAX_PLATFORMS": "cpu",
+                 "PYTHONPATH": str(REPO), "HOME": str(tmp_path)},
+        )
+        assert result.returncode == 0, result.stderr
+        text = out.read_text()
+        assert "MLFLOW_PARENT_RUN_ID=" in text
+        assert "main.py" in text
+        # 3 sweep members (N: 16, 20, 32)
+        assert text.count('"N=') == 3 or text.count("N=16") >= 1
+        if backend == "lsf":
+            assert "#BSUB -J" in text and "[1-3]" in text
