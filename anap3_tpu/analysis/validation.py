@@ -26,6 +26,8 @@ log = logging.getLogger(__name__)
 __all__ = [
     "compute_l2_errors_vs_reference",
     "botella_validation_rows",
+    "saad_quantities_rows",
+    "save_validation_error_heatmaps",
     "fv_l2_objective",
     "botella_vortex_objective",
 ]
@@ -38,8 +40,14 @@ def compute_l2_errors_vs_reference(
     Ly: float = 1.0,
     reference_roots: tuple = (("data/validation/fv", ""), ("data/validation/fv-regu", "_regu")),
     base_dir: Optional[Path] = None,
+    heatmap_method: Optional[str] = None,
+    heatmap_paths: Optional[list] = None,
 ) -> Dict[str, float]:
-    """Relative L2 errors of (u, v) against stored reference .vts solutions."""
+    """Relative L2 errors of (u, v) against stored reference .vts solutions.
+
+    With ``heatmap_method`` set, error-distribution PNGs are saved for the
+    non-regularized comparison (appended to ``heatmap_paths``).
+    """
     base_dir = Path(base_dir) if base_dir is not None else Path.cwd()
     results: Dict[str, float] = {}
     for ref_root, suffix in reference_roots:
@@ -72,6 +80,15 @@ def compute_l2_errors_vs_reference(
         results[f"u_L2_error{suffix}"] = float(u_err)
         results[f"v_L2_error{suffix}"] = float(v_err)
         log.info("L2 errors vs %s: u=%.6e v=%.6e", ref_root, u_err, v_err)
+        if heatmap_method and not suffix:
+            try:
+                paths = save_validation_error_heatmaps(
+                    ref_x, ref_y, ref_u, ref_v, cur_u, cur_v, Re,
+                    heatmap_method)
+                if heatmap_paths is not None:
+                    heatmap_paths.extend(paths)
+            except Exception as exc:
+                log.warning("Error-heatmap generation failed: %s", exc)
     return results
 
 
@@ -125,6 +142,79 @@ def botella_validation_rows(metrics, Re: float, base_dir=None) -> Optional[list]
     add_row("BR", "x", metrics.psi_BR_x, ref.get("x_BR"))
     add_row("BR", "y", metrics.psi_BR_y, ref.get("y_BR"))
     return rows
+
+
+def saad_quantities_rows(metrics, Re: float, grid_label: str,
+                         base_dir=None) -> Optional[list]:
+    """Computed-vs-Saad conserved quantities (energy/enstrophy/palinstrophy).
+
+    The reference carries the Saad tables (data/validation/saad/
+    saad_Re1000_quantities.csv) but never tabulates against them; this closes
+    that loop. Rows mirror the Botella table format.
+    """
+    base_dir = Path(base_dir) if base_dir is not None else Path.cwd()
+    path = base_dir / "data/validation/saad" / f"saad_Re{int(Re)}_quantities.csv"
+    if not path.exists():
+        return None
+    import pandas as pd
+
+    df = pd.read_csv(path)
+    ref = df.iloc[-1]  # finest grid row (512^2)
+    rows = []
+    for name, computed, reference in (
+        ("Energy", metrics.final_energy, float(ref["Energy"])),
+        ("Enstrophy", metrics.final_enstrophy, float(ref["Enstrophy"])),
+        ("Palinstrophy", metrics.final_palinstrophy, float(ref["Palinstrophy"])),
+    ):
+        err = (abs(computed - reference) / abs(reference) * 100
+               if reference else None)
+        rows.append({
+            "Quantity": name,
+            "Computed": f"{computed:.6g}",
+            f"Saad ({ref['Grid']})": f"{reference:.6g}",
+            "Grid": grid_label,
+            "Error (%)": f"{err:.2f}" if err is not None else "-",
+        })
+    return rows
+
+
+def save_validation_error_heatmaps(ref_x, ref_y, ref_u, ref_v, cur_u, cur_v,
+                                   Re, method_name: str,
+                                   output_dir="outputs/validation_errors"):
+    """Error-distribution PNGs (computed - reference), base.py:1056-1120."""
+    import matplotlib
+
+    matplotlib.use("Agg", force=False)
+    import matplotlib.pyplot as plt
+
+    nx = len(np.unique(ref_x))
+    ny = len(np.unique(ref_y))
+    try:
+        X = np.asarray(ref_x).reshape(nx, ny)
+        Y = np.asarray(ref_y).reshape(nx, ny)
+        U = (np.asarray(cur_u) - np.asarray(ref_u)).reshape(nx, ny)
+        V = (np.asarray(cur_v) - np.asarray(ref_v)).reshape(nx, ny)
+    except ValueError:
+        log.warning("Could not reshape error field for plotting; skipping")
+        return []
+    out_dir = Path(output_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    paths = []
+    for comp, diff in (("u", U), ("v", V)):
+        fig, ax = plt.subplots(figsize=(8, 6))
+        vmax = max(np.nanmax(np.abs(diff)), 1e-10)
+        im = ax.pcolormesh(X, Y, diff, cmap="RdBu_r", vmin=-vmax, vmax=vmax,
+                           shading="auto")
+        ax.set_xlabel("x")
+        ax.set_ylabel("y")
+        ax.set_title(f"{comp} error (computed - reference), Re={int(Re)}")
+        ax.set_aspect("equal")
+        plt.colorbar(im, ax=ax, label=f"{comp} error")
+        path = out_dir / f"{method_name}_Re{int(Re)}_{comp}_error.png"
+        fig.savefig(path, dpi=150, bbox_inches="tight")
+        plt.close(fig)
+        paths.append(path)
+    return paths
 
 
 def fv_l2_objective(validation_errors: Dict[str, float]) -> float:

@@ -155,20 +155,29 @@ class CavitySolver:
         return interp_u(pts), interp_v(pts)
 
     def compute_validation_errors(self, reference_dir: str = "data/validation/fv",
-                                  base_dir=None) -> Dict[str, float]:
+                                  base_dir=None, save_plots: bool = True) -> Dict[str, float]:
         roots = [("data/validation/fv", ""), ("data/validation/fv-regu", "_regu")]
         if reference_dir not in [r for r, _ in roots]:
             roots.insert(0, (reference_dir, ""))
             roots = list(dict.fromkeys(roots))
+        self.validation_error_plots: list = []
         return validation_mod.compute_l2_errors_vs_reference(
             self._evaluate_at_points, self.params.Re,
             Lx=self.params.Lx, Ly=self.params.Ly,
             reference_roots=tuple(roots), base_dir=base_dir,
+            heatmap_method=(self.params.method or self.params.name)
+            if save_plots else None,
+            heatmap_paths=self.validation_error_plots,
         )
 
     def validation_table(self, base_dir=None):
         return validation_mod.botella_validation_rows(self.metrics, self.params.Re,
                                                       base_dir=base_dir)
+
+    def saad_table(self, base_dir=None):
+        grid = f"{self.params.nx}x{self.params.ny}"
+        return validation_mod.saad_quantities_rows(self.metrics, self.params.Re,
+                                                   grid, base_dir=base_dir)
 
     # ------------------------------------------------------------------
     # Export

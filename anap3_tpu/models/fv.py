@@ -320,6 +320,7 @@ class FVSolver(CavitySolver):
         result = run_fixed_point(
             step, lambda s: (s.u, s.v), self.state,
             tolerance=tol, max_iterations=max_iter,
+            chunk=self.params.chunk_size,
             log_callback=self._log_callback,
             checkpoint_mgr=ckpt_mgr,
             start_iteration=start_iter,

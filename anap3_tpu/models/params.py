@@ -42,6 +42,10 @@ class Parameters:
     # Mid-solve checkpoint/resume (utils/checkpoint.py). Empty = disabled.
     checkpoint_dir: str = ""
     checkpoint_every_chunks: int = 10
+    # Iterations per jitted chunk: larger values amortize host<->device sync
+    # latency (important over remote-device tunnels) at the cost of up to
+    # chunk_size-1 extra frozen iterations after convergence.
+    chunk_size: int = 200
 
     def to_mlflow(self) -> dict:
         return {

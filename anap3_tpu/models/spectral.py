@@ -74,6 +74,7 @@ class SGSolver(CavitySolver):
             self.state,
             tolerance=tol,
             max_iterations=max_iter,
+            chunk=self.params.chunk_size,
             log_callback=self._log_callback,
             checkpoint_mgr=ckpt_mgr,
             start_iteration=start_iter,
@@ -195,6 +196,7 @@ class FSGSolver(SGSolver):
             result = run_fixed_point(
                 step, lambda s: (s.u, s.v), state,
                 tolerance=level_tol, max_iterations=max_iter,
+                chunk=self.params.chunk_size,
                 log_callback=self._log_callback
                 if level_idx == len(orders) - 1 else None,
             )

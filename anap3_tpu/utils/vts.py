@@ -54,9 +54,22 @@ class StructuredGridData:
         return (x1 - x0 + 1, y1 - y0 + 1, z1 - z0 + 1)
 
 
+def _native_codec():
+    from . import native
+
+    return native.vts_codec()
+
+
 def _decode_inline_binary(text: str, dtype: np.dtype, header_dtype=np.uint32,
                           compressed: bool = True) -> np.ndarray:
     raw = "".join(text.split())
+    if compressed and np.dtype(header_dtype).itemsize == 4:
+        codec = _native_codec()
+        if codec is not None:
+            try:
+                return np.frombuffer(codec.decode(raw), dtype=dtype)
+            except ValueError:
+                pass  # fall through to the Python path
     hsize_word = np.dtype(header_dtype).itemsize
     if not compressed:
         head = base64.b64decode(raw[: _b64len(hsize_word)])
@@ -87,6 +100,10 @@ def _b64len(nbytes: int) -> int:
 
 
 def _encode_inline_binary(data: bytes, header_dtype=np.uint32) -> str:
+    if np.dtype(header_dtype).itemsize == 4:
+        codec = _native_codec()
+        if codec is not None:
+            return codec.encode(data, 5)
     comp = zlib.compress(data, 5)
     fmt = "<IIII" if np.dtype(header_dtype).itemsize == 4 else "<QQQQ"
     header = struct.pack(fmt, 1, len(data), len(data), len(comp))

@@ -152,6 +152,11 @@ def log_solver_results(cfg: dict, solver, parent_run_id: str | None = None,
         table = solver.validation_table(base_dir=REPO_ROOT)
         if table:
             T.log_table(table, "validation_metrics.json")
+        saad = solver.saad_table(base_dir=REPO_ROOT)
+        if saad:
+            T.log_table(saad, "saad_quantities.json")
+        for plot in getattr(solver, "validation_error_plots", []) or []:
+            T.log_artifact(plot)
 
         with tempfile.TemporaryDirectory() as tmpdir:
             vts_path = Path(tmpdir) / "solution.vts"

@@ -1,0 +1,68 @@
+"""Tests for the native VTS codec and the extended validation components."""
+
+import numpy as np
+import pytest
+
+from anap3_tpu.models.params import Metrics
+from anap3_tpu.analysis import validation as V
+from anap3_tpu.utils import vts
+from anap3_tpu.utils.native import vts_codec
+
+
+class TestNativeCodec:
+    def test_roundtrip_and_cross_compat(self):
+        codec = vts_codec()
+        if codec is None:
+            pytest.skip("native toolchain unavailable")
+        rng = np.random.default_rng(0)
+        data = rng.normal(size=40000).tobytes()
+        enc = codec.encode(data)
+        assert codec.decode(enc) == data
+        # python reader consumes native-encoded payloads
+        arr = vts._decode_inline_binary(enc, np.float64)
+        np.testing.assert_array_equal(arr, np.frombuffer(data))
+
+    def test_reads_reference_fixture(self):
+        grid = vts.read_vts("/root/reference/data/validation/fv/Re100/solution.vts")
+        assert grid.point_data["u"].shape == (128 * 128,)
+        assert abs(grid.point_data["u"]).max() < 1.0
+
+    def test_write_read_uses_native_path(self, tmp_path):
+        pts = np.random.default_rng(1).normal(size=(64, 3))
+        vts.write_vts(tmp_path / "t.vts", pts,
+                      {"u": pts[:, 0].copy()}, {"Re": np.array([7])},
+                      (8, 8, 1))
+        g = vts.read_vts(tmp_path / "t.vts")
+        np.testing.assert_allclose(g.points, pts)
+        np.testing.assert_allclose(g.point_data["u"], pts[:, 0])
+
+
+class TestSaadTable:
+    def test_rows_for_re1000(self, repo_root):
+        m = Metrics(final_energy=0.0226, final_enstrophy=4.82,
+                    final_palinstrophy=8270.0)
+        rows = V.saad_quantities_rows(m, 1000, "96x96", base_dir=repo_root)
+        assert rows is not None and len(rows) == 3
+        energy_row = rows[0]
+        assert energy_row["Quantity"] == "Energy"
+        assert float(energy_row["Error (%)"]) < 1.0
+
+    def test_missing_re_returns_none(self, repo_root):
+        m = Metrics()
+        assert V.saad_quantities_rows(m, 777, "8x8", base_dir=repo_root) is None
+
+
+class TestErrorHeatmaps:
+    def test_heatmaps_written(self, tmp_path):
+        n = 16
+        x = np.repeat(np.linspace(0.01, 0.99, n), n)
+        y = np.tile(np.linspace(0.01, 0.99, n), n)
+        ref_u = np.sin(np.pi * x)
+        ref_v = np.cos(np.pi * y)
+        cur_u = ref_u + 0.01
+        cur_v = ref_v - 0.01
+        paths = V.save_validation_error_heatmaps(
+            x, y, ref_u, ref_v, cur_u, cur_v, 100, "testsolver",
+            output_dir=tmp_path)
+        assert len(paths) == 2
+        assert all(p.exists() for p in paths)
