@@ -240,13 +240,22 @@ class FSGSolver(SGSolver):
                  wall, total_iters, converged)
 
     def _prolongate(self, state, n_coarse, n_fine, ops_fine, dtype):
-        """Coarse->fine transfer with BC re-enforcement (fsg.py:551-614)."""
+        """Coarse->fine transfer with BC re-enforcement (fsg.py:551-614).
+
+        Velocities use the configured (DCT/polynomial) operator on the full
+        CGL grids; the inner-grid pressure uses an exact nodal interpolation
+        matrix, because the interior nodes are not a smaller CGL grid (see
+        ops/transfer.nodal_interpolation_matrix).
+        """
+        from ..ops import basis as B
+        from ..ops.transfer import nodal_interpolation_matrix
+
         P_full, _ = make_transfer_matrices(
             n_coarse + 1, n_fine + 1,
             self.params.prolongation_method, self.params.restriction_method)
-        P_inner, _ = make_transfer_matrices(
-            n_coarse - 1, n_fine - 1,
-            self.params.prolongation_method, self.params.restriction_method)
+        bx = B.make_basis(self.params.basis_type, (0.0, self.params.Lx))
+        P_inner = nodal_interpolation_matrix(
+            bx.nodes(n_coarse + 1)[1:-1], bx.nodes(n_fine + 1)[1:-1])
         Pf = jnp.asarray(P_full, dtype=dtype)
         Pi = jnp.asarray(P_inner, dtype=dtype)
         mm = lambda a, b: jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)

@@ -225,13 +225,18 @@ def adaptive_dt(ops: SpectralOps, u: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray
 _RK4_ALPHAS = (0.25, 1.0 / 3.0, 0.5, 1.0)
 
 
-def sg_step(ops: SpectralOps, state: SpectralState):
+def sg_step(ops: SpectralOps, state: SpectralState, tau=None):
     """One low-storage RK4 pseudo-timestep. Returns (state, metrics).
 
     The metrics dict carries the algebraic residual norms of the LAST stage
     evaluation (matching _compute_algebraic_residuals after step(),
     sg.py:463-473) and the quadrature-based conserved quantities
     (sg.py:495-550).
+
+    ``tau`` (optional (tau_u, tau_v, tau_p)) is a FAS forcing added to every
+    stage residual — the coarse-grid correction source of the V-cycle
+    multigrid (the hook the reference's MultigridSmoother carries but never
+    exercises, multigrid/fsg.py:1019-1045).
     """
     u0, v0, p0 = state.u, state.v, state.p
     dt = adaptive_dt(ops, u0, v0)
@@ -240,6 +245,10 @@ def sg_step(ops: SpectralOps, state: SpectralState):
     R_u = R_v = R_p = None
     for alpha in _RK4_ALPHAS:
         R_u, R_v, R_p = residuals(ops, u_in, v_in, p_in)
+        if tau is not None:
+            R_u = R_u + tau[0]
+            R_v = R_v + tau[1]
+            R_p = R_p + tau[2]
         u_in = u0 + (alpha * dt) * R_u
         v_in = v0 + (alpha * dt) * R_v
         p_in = p0 + (alpha * dt) * R_p

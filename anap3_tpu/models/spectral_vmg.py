@@ -1,0 +1,297 @@
+"""FAS V-cycle and full-multigrid (FMG) spectral solvers.
+
+The reference documents VMG/FMG solvers (docs/source/api_reference.rst:20-21,
+usage.rst:44-46) and carries FAS tau-correction hooks in its smoother
+(multigrid/fsg.py:1019-1045) but implements neither — only FSG nested
+iteration exists. This module supplies the real thing, following the FAS
+scheme of Zhang & Xi (2010) for the artificial-compressibility equations:
+
+Per V-cycle on level h (fine) with coarse level H:
+1. nu1 pre-smoothing RK4 steps with the level's tau forcing;
+2. defect d_h = R_h(u_h) + tau_h;
+3. state restriction by INJECTION (nested Gauss-Lobatto grids,
+   fsg.py:622-664): u_H0 = Inj u_h Inj^T;
+4. tau_H = I_res(d_h) - R_H(u_H0), with velocity defects zeroed on the
+   boundary ring before the spectral-truncation restriction
+   (fsg.py:693-726) — so that R_H(u_H) + tau_H = 0 reproduces the fine
+   solution through the coarse operator (classical FAS);
+5. recurse (or nu_coarse smoothing steps on the coarsest level);
+6. correction u_h += P(u_H - u_H0) with hard BC re-enforcement
+   (fsg.py:586-599); corrections are zero at velocity boundaries by
+   construction of step 4's zeroing + BC enforcement;
+7. nu2 post-smoothing steps.
+
+One OUTER ITERATION of the solver = one V-cycle; convergence uses the same
+relative-iterate-change criterion as everything else. The whole V-cycle is a
+single jitted function (the level loop is unrolled at trace time — shapes
+are static per level).
+
+FMG = FSG nested iteration where each level is solved by V-cycles over the
+hierarchy built so far.
+"""
+
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass
+from typing import List, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .params import SpectralParameters
+from .runner import run_fixed_point, IterationResult
+from .spectral import SGSolver
+from . import spectral_sg as core
+from ..ops.basis import make_basis
+from ..ops.transfer import (fft_restriction_matrix, injection_restriction_matrix,
+                            make_transfer_matrices, nodal_injection_matrix,
+                            nodal_interpolation_matrix)
+
+log = logging.getLogger(__name__)
+
+__all__ = ["VMGSolver", "FMGSolver", "build_vmg_levels", "make_v_cycle"]
+
+_HIGHEST = jax.lax.Precision.HIGHEST
+
+
+def _mm(a, b):
+    return jnp.matmul(a, b, precision=_HIGHEST)
+
+
+@dataclass
+class VmgLevel:
+    """Operators for one level plus transfers to the NEXT-COARSER level."""
+
+    n: int
+    ops: core.SpectralOps
+    # fine->coarse (toward next-coarser level); None on the coarsest level
+    inj_full: jnp.ndarray | None = None    # (nc+1, nf+1) injection
+    inj_inner: jnp.ndarray | None = None   # (nc-1, nf-1)
+    res_full: jnp.ndarray | None = None    # (nc+1, nf+1) spectral truncation
+    res_inner: jnp.ndarray | None = None
+    # coarse->fine prolongation (from next-coarser level up to this one)
+    pro_full: jnp.ndarray | None = None    # (nf+1, nc+1)
+    pro_inner: jnp.ndarray | None = None
+
+
+def build_vmg_levels(params: SpectralParameters, n_fine: int | None = None,
+                     coarsest_n: int = 12) -> List[VmgLevel]:
+    """Hierarchy from FINE (index 0) to COARSE, with per-pair transfers."""
+    dtype = jnp.dtype(params.dtype)
+    orders = []
+    n = int(params.nx if n_fine is None else n_fine)
+    for _ in range(int(params.n_levels)):
+        orders.append(n)
+        if n // 2 < coarsest_n:
+            break
+        n = n // 2
+
+    bx = make_basis(params.basis_type, (0.0, params.Lx))
+    levels: List[VmgLevel] = []
+    for idx, n in enumerate(orders):
+        ops, _ = core.build_spectral_ops(params, n=n)
+        level = VmgLevel(n=n, ops=ops)
+        if idx + 1 < len(orders):
+            nc = orders[idx + 1]
+            cast = lambda a: jnp.asarray(a, dtype=dtype)
+            # full velocity grids ARE Chebyshev-Lobatto -> DCT operators apply
+            level.inj_full = cast(injection_restriction_matrix(n + 1, nc + 1))
+            level.res_full = cast(fft_restriction_matrix(n + 1, nc + 1))
+            P_full, _ = make_transfer_matrices(
+                nc + 1, n + 1, params.prolongation_method,
+                params.restriction_method)
+            level.pro_full = cast(P_full)
+            # inner pressure grids are NOT — build from node positions
+            x_fi = bx.nodes(n + 1)[1:-1]
+            x_ci = bx.nodes(nc + 1)[1:-1]
+            level.inj_inner = cast(nodal_injection_matrix(x_fi, x_ci))
+            level.res_inner = cast(nodal_interpolation_matrix(x_fi, x_ci))
+            level.pro_inner = cast(nodal_interpolation_matrix(x_ci, x_fi))
+        levels.append(level)
+    return levels
+
+
+def _zero_boundary(a: jnp.ndarray) -> jnp.ndarray:
+    mask = jnp.zeros_like(a).at[1:-1, 1:-1].set(1.0)
+    return a * mask
+
+
+def make_v_cycle(levels: List[VmgLevel], nu1: int = 2, nu2: int = 2,
+                 nu_coarse: int = 30):
+    """Build the jitted V-cycle step: state -> (state, metrics)."""
+
+    def smooth(level: VmgLevel, state, tau, n_steps: int):
+        def body(s, _):
+            s, m = core.sg_step(level.ops, s, tau=tau)
+            return s, m
+        state, ms = jax.lax.scan(body, state, None, length=n_steps)
+        last = jax.tree.map(lambda x: x[-1], ms)
+        return state, last
+
+    def defect(level: VmgLevel, state, tau):
+        R_u, R_v, R_p = core.residuals(level.ops, state.u, state.v, state.p)
+        if tau is not None:
+            R_u = R_u + tau[0]
+            R_v = R_v + tau[1]
+            R_p = R_p + tau[2]
+        return R_u, R_v, R_p
+
+    def cycle(idx: int, state, tau):
+        level = levels[idx]
+        if idx == len(levels) - 1:  # coarsest: just smooth
+            state, m = smooth(level, state, tau, nu_coarse)
+            return state, m
+
+        state, _ = smooth(level, state, tau, nu1)
+
+        d_u, d_v, d_p = defect(level, state, tau)
+        # zero velocity defects on the boundary ring BEFORE spectral
+        # restriction (fsg.py:693-726)
+        d_u = _zero_boundary(d_u)
+        d_v = _zero_boundary(d_v)
+
+        u_H0 = _mm(_mm(level.inj_full, state.u), level.inj_full.T)
+        v_H0 = _mm(_mm(level.inj_full, state.v), level.inj_full.T)
+        p_H0 = _mm(_mm(level.inj_inner, state.p), level.inj_inner.T)
+        u_H0, v_H0 = core.enforce_bc(levels[idx + 1].ops, u_H0, v_H0)
+        coarse0 = core.SpectralState(u=u_H0, v=v_H0, p=p_H0)
+
+        rd_u = _mm(_mm(level.res_full, d_u), level.res_full.T)
+        rd_v = _mm(_mm(level.res_full, d_v), level.res_full.T)
+        rd_p = _mm(_mm(level.res_inner, d_p), level.res_inner.T)
+        rd_u = _zero_boundary(rd_u)
+        rd_v = _zero_boundary(rd_v)
+
+        R_u0, R_v0, R_p0 = defect(levels[idx + 1], coarse0, None)
+        tau_H = (rd_u - R_u0, rd_v - R_v0, rd_p - R_p0)
+
+        coarse, _ = cycle(idx + 1, coarse0, tau_H)
+
+        e_u = _mm(_mm(level.pro_full, coarse.u - coarse0.u), level.pro_full.T)
+        e_v = _mm(_mm(level.pro_full, coarse.v - coarse0.v), level.pro_full.T)
+        e_p = _mm(_mm(level.pro_inner, coarse.p - coarse0.p), level.pro_inner.T)
+        u = state.u + _zero_boundary(e_u)
+        v = state.v + _zero_boundary(e_v)
+        p = state.p + e_p
+        u, v = core.enforce_bc(level.ops, u, v)
+        state = core.SpectralState(u=u, v=v, p=p)
+
+        state, m = smooth(level, state, tau, nu2)
+        return state, m
+
+    def v_cycle_step(state):
+        return cycle(0, state, None)
+
+    return v_cycle_step
+
+
+class VMGSolver(SGSolver):
+    """FAS V-cycle multigrid solver; one outer iteration = one V-cycle."""
+
+    NU1 = 2
+    NU2 = 2
+    NU_COARSE = 30
+
+    def solve(self, tolerance: float = None, max_iter: int = None) -> None:
+        tol = self.params.tolerance if tolerance is None else tolerance
+        max_iter = self.params.max_iterations if max_iter is None else max_iter
+        levels = build_vmg_levels(self.params)
+        log.info("VMG hierarchy: N = %s", [lv.n for lv in levels])
+        v_cycle = make_v_cycle(levels, self.NU1, self.NU2, self.NU_COARSE)
+        # per-cycle work = nu1+nu2 fine smoothing steps; scale the cycle
+        # budget so max_iterations keeps its fine-step meaning
+        max_cycles = max(1, max_iter // (self.NU1 + self.NU2))
+        result = run_fixed_point(
+            v_cycle, lambda s: (s.u, s.v), self.state,
+            tolerance=tol, max_iterations=max_cycles,
+            chunk=max(1, min(50, self.params.chunk_size // (self.NU1 + self.NU2))),
+            log_callback=self._log_callback,
+        )
+        self.state = result.state
+        self._store_results(result)
+
+
+class FMGSolver(SGSolver):
+    """Full multigrid: FSG nested iteration with V-cycle solves per level."""
+
+    NU1 = 2
+    NU2 = 2
+    NU_COARSE = 30
+
+    def solve(self, tolerance: float = None, max_iter: int = None) -> None:
+        import time
+
+        tol = self.params.tolerance if tolerance is None else tolerance
+        max_iter = self.params.max_iterations if max_iter is None else max_iter
+        levels = build_vmg_levels(self.params)  # fine -> coarse
+        coarse_to_fine = levels[::-1]
+        log.info("FMG hierarchy: N = %s", [lv.n for lv in coarse_to_fine])
+
+        t0 = time.time()
+        total_iters = 0
+        converged = False
+        state = None
+        dtype = jnp.dtype(self.params.dtype)
+        for k, level in enumerate(coarse_to_fine):
+            sub_levels = levels[len(levels) - 1 - k:]  # this level down
+            level_tol = tol * (self.params.coarse_tolerance_factor
+                               ** (len(coarse_to_fine) - 1 - k))
+            if state is None:
+                state = core.initial_state(level.ops)
+            else:
+                prev = coarse_to_fine[k - 1]
+                state = self._prolongate_fmg(prev, level, state, dtype)
+            if len(sub_levels) > 1:
+                step = make_v_cycle(sub_levels, self.NU1, self.NU2,
+                                    self.NU_COARSE)
+                budget = max(1, max_iter // (self.NU1 + self.NU2))
+            else:
+                def step(s, _ops=level.ops):
+                    return core.sg_step(_ops, s)
+                budget = max_iter
+            result = run_fixed_point(
+                step, lambda s: (s.u, s.v), state,
+                tolerance=level_tol, max_iterations=budget,
+                chunk=max(1, min(50, self.params.chunk_size // 4)),
+                log_callback=self._log_callback
+                if k == len(coarse_to_fine) - 1 else None,
+            )
+            state = result.state
+            total_iters += result.iterations
+            converged = result.converged
+            log.info("FMG level %d (N=%d): %d outer iterations, converged=%s",
+                     k, level.n, result.iterations, converged)
+            if result.diverged:
+                break
+
+        self.state = state
+        wall = time.time() - t0
+        R_u, R_v, R_p = core.residuals(self.ops, state.u, state.v, state.p)
+        history = {
+            "rel_iter": [tol if converged else tol * 10],
+            "u_eq": [float(jnp.linalg.norm(R_u))],
+            "v_eq": [float(jnp.linalg.norm(R_v))],
+            "continuity": [float(jnp.linalg.norm(R_p))],
+            "energy": [0.0], "enstrophy": [0.0], "palinstrophy": [0.0],
+        }
+        result = IterationResult(state=state, iterations=total_iters,
+                                 converged=converged, diverged=False,
+                                 wall_time=wall, history=history)
+        self._store_results(result)
+
+    def _prolongate_fmg(self, coarse_level, fine_level, state, dtype):
+        P_full, _ = make_transfer_matrices(
+            coarse_level.n + 1, fine_level.n + 1,
+            self.params.prolongation_method, self.params.restriction_method)
+        bx = make_basis(self.params.basis_type, (0.0, self.params.Lx))
+        P_inner = nodal_interpolation_matrix(
+            bx.nodes(coarse_level.n + 1)[1:-1], bx.nodes(fine_level.n + 1)[1:-1])
+        Pf = jnp.asarray(P_full, dtype=dtype)
+        Pi = jnp.asarray(P_inner, dtype=dtype)
+        u = _mm(_mm(Pf, state.u), Pf.T)
+        v = _mm(_mm(Pf, state.v), Pf.T)
+        p = _mm(_mm(Pi, state.p), Pi.T)
+        u, v = core.enforce_bc(fine_level.ops, u, v)
+        return core.SpectralState(u=u, v=v, p=p)

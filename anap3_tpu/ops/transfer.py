@@ -33,6 +33,8 @@ __all__ = [
     "polynomial_prolongation_matrix",
     "injection_restriction_matrix",
     "make_transfer_matrices",
+    "nodal_interpolation_matrix",
+    "nodal_injection_matrix",
 ]
 
 
@@ -109,6 +111,33 @@ def injection_restriction_matrix(n_fine: int, n_coarse: int) -> np.ndarray:
     x_c = np.cos(np.pi * np.arange(n_coarse) / (n_coarse - 1))
     nearest = np.argmin(np.abs(x_f[None, :] - x_c[:, None]), axis=1)
     R[np.arange(n_coarse), nearest] = 1.0
+    return R
+
+
+def nodal_interpolation_matrix(x_from: np.ndarray, x_to: np.ndarray) -> np.ndarray:
+    """Exact polynomial interpolation matrix between ARBITRARY node sets.
+
+    The DCT-based operators above assume the data sits on Chebyshev-Lobatto
+    nodes of matching order — true for the FULL velocity grids, but NOT for
+    the PN-PN-2 INNER pressure grids (interior CGL nodes are not a smaller
+    CGL grid). Inner-grid transfers must therefore be built from the actual
+    node positions. (The reference applies its CGL-based operators to inner
+    grids too — transfer_operators.py restrict/prolongate_2d on shape_inner —
+    a latent inconsistency that FSG never exposes because it only prolongates
+    solutions that smoothing then repairs; a FAS V-cycle DOES expose it.)
+    """
+    from ..ops.basis import interpolation_matrix_1d
+
+    return interpolation_matrix_1d(np.asarray(x_from), np.asarray(x_to))
+
+
+def nodal_injection_matrix(x_fine: np.ndarray, x_coarse: np.ndarray) -> np.ndarray:
+    """Injection by nearest node position (exact when grids nest)."""
+    x_fine = np.asarray(x_fine)
+    x_coarse = np.asarray(x_coarse)
+    R = np.zeros((x_coarse.size, x_fine.size))
+    nearest = np.argmin(np.abs(x_fine[None, :] - x_coarse[:, None]), axis=1)
+    R[np.arange(x_coarse.size), nearest] = 1.0
     return R
 
 

@@ -1,0 +1,106 @@
+"""Tests for the FAS V-cycle (VMG) and full-multigrid (FMG) solvers."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from anap3_tpu.models.params import SpectralParameters
+from anap3_tpu.models.spectral import SGSolver
+from anap3_tpu.models.spectral_vmg import (FMGSolver, VMGSolver,
+                                           build_vmg_levels, make_v_cycle)
+from anap3_tpu.models import spectral_sg as core
+from anap3_tpu.ops.transfer import nodal_injection_matrix, nodal_interpolation_matrix
+
+
+def make_params(**over):
+    base = dict(name="spectral_vmg", Re=100.0, nx=24, ny=24,
+                basis_type="chebyshev", CFL=1.5, beta_squared=5.0,
+                corner_treatment="smoothing", corner_smoothing=0.15,
+                tolerance=1e-8, max_iterations=40000, n_levels=2,
+                coarse_tolerance_factor=1.0, dtype="float64", chunk_size=200)
+    base.update(over)
+    return SpectralParameters(**base)
+
+
+class TestInnerGridTransfers:
+    def test_nodal_injection_picks_nested_nodes(self):
+        """Coarse INNER nodes are the odd fine inner indices (not even) —
+        the regression that made the naive CGL-count injection diverge."""
+        from anap3_tpu.ops.basis import make_basis
+
+        bx = make_basis("chebyshev", (0.0, 1.0))
+        x_f = bx.nodes(25)[1:-1]   # 23 inner nodes
+        x_c = bx.nodes(13)[1:-1]   # 11 inner nodes
+        R = nodal_injection_matrix(x_f, x_c)
+        picked = np.argmax(R, axis=1)
+        np.testing.assert_array_equal(picked, np.arange(1, 23, 2))
+        np.testing.assert_allclose(R @ x_f, x_c, atol=1e-14)
+
+    def test_nodal_interpolation_exact_on_polynomials(self):
+        from anap3_tpu.ops.basis import make_basis
+
+        bx = make_basis("chebyshev", (0.0, 1.0))
+        x_f = bx.nodes(25)[1:-1]
+        x_c = bx.nodes(13)[1:-1]
+        P = nodal_interpolation_matrix(x_c, x_f)
+        f_c = 4 * x_c**5 - x_c**2
+        np.testing.assert_allclose(P @ f_c, 4 * x_f**5 - x_f**2, atol=1e-9)
+
+
+class TestVCycle:
+    def test_levels_build(self):
+        levels = build_vmg_levels(make_params(nx=48, ny=48, n_levels=3))
+        assert [lv.n for lv in levels] == [48, 24, 12]
+        assert levels[-1].inj_full is None  # coarsest has no further transfer
+
+    def test_single_cycle_reduces_residual(self):
+        params = make_params()
+        levels = build_vmg_levels(params)
+        v_cycle = make_v_cycle(levels)
+        state = core.initial_state(levels[0].ops)
+        # burn in a few plain steps so the field is nontrivial
+        for _ in range(20):
+            state, _ = core.sg_step(levels[0].ops, state)
+
+        def resid_norm(s):
+            R_u, R_v, _ = core.residuals(levels[0].ops, s.u, s.v, s.p)
+            Ru = np.asarray(R_u)[1:-1, 1:-1]
+            Rv = np.asarray(R_v)[1:-1, 1:-1]
+            return float(np.linalg.norm(Ru) + np.linalg.norm(Rv))
+
+        r0 = resid_norm(state)
+        state, m = v_cycle(state)
+        state, m = v_cycle(state)
+        assert np.isfinite(np.asarray(state.u)).all()
+        assert resid_norm(state) < r0
+
+    def test_vmg_matches_sg_steady_state(self):
+        vmg = VMGSolver(params=make_params())
+        vmg.solve()
+        assert vmg.metrics.converged
+        sg = SGSolver(params=make_params(name="spectral", tolerance=1e-6,
+                                         max_iterations=60000, chunk_size=500))
+        sg.solve()
+        np.testing.assert_allclose(np.asarray(vmg.state.u),
+                                   np.asarray(sg.state.u), atol=2e-3)
+        assert vmg.metrics.psi_min == pytest.approx(sg.metrics.psi_min,
+                                                    abs=5e-4)
+
+    def test_vmg_cheaper_than_sg(self):
+        """Fine-grid-equivalent work must be far below single-grid."""
+        vmg = VMGSolver(params=make_params())
+        vmg.solve()
+        sg = SGSolver(params=make_params(name="spectral", tolerance=1e-6,
+                                         max_iterations=60000, chunk_size=500))
+        sg.solve()
+        fine_steps_vmg = vmg.metrics.iterations * (VMGSolver.NU1 + VMGSolver.NU2)
+        assert fine_steps_vmg < 0.5 * sg.metrics.iterations
+
+
+class TestFMG:
+    def test_fmg_converges_and_matches(self):
+        fmg = FMGSolver(params=make_params(name="spectral_fmg",
+                                           coarse_tolerance_factor=10.0))
+        fmg.solve()
+        assert fmg.metrics.converged
+        assert fmg.metrics.psi_min == pytest.approx(-0.10298, abs=2e-3)
