@@ -76,10 +76,26 @@ class VmgLevel:
     pro_inner: jnp.ndarray | None = None
 
 
+def default_coarsest_n(Re: float) -> int:
+    """Coarsest polynomial order that still resolves the convection physics.
+
+    FAS corrections from a convection-under-resolved coarsest grid
+    destabilize the fine level (observed: N=12 at Re=1000 diverges even with
+    damping 0.6, N=24 coarse is stable); scale the floor with Re.
+    """
+    if Re <= 400:
+        return 12
+    if Re <= 3200:
+        return 24
+    return 32
+
+
 def build_vmg_levels(params: SpectralParameters, n_fine: int | None = None,
-                     coarsest_n: int = 12) -> List[VmgLevel]:
+                     coarsest_n: int | None = None) -> List[VmgLevel]:
     """Hierarchy from FINE (index 0) to COARSE, with per-pair transfers."""
     dtype = jnp.dtype(params.dtype)
+    if coarsest_n is None:
+        coarsest_n = default_coarsest_n(float(params.Re))
     orders = []
     n = int(params.nx if n_fine is None else n_fine)
     for _ in range(int(params.n_levels)):
@@ -119,8 +135,13 @@ def _zero_boundary(a: jnp.ndarray) -> jnp.ndarray:
 
 
 def make_v_cycle(levels: List[VmgLevel], nu1: int = 2, nu2: int = 2,
-                 nu_coarse: int = 30):
-    """Build the jitted V-cycle step: state -> (state, metrics)."""
+                 nu_coarse: int = 30, damping: float = 1.0):
+    """Build the jitted V-cycle step: state -> (state, metrics).
+
+    ``damping`` under-relaxes the prolongated coarse-grid correction —
+    needed at high Re where the coarsest level is convection-under-resolved
+    and full corrections destabilize the fine level.
+    """
 
     def smooth(level: VmgLevel, state, tau, n_steps: int):
         def body(s, _):
@@ -172,9 +193,9 @@ def make_v_cycle(levels: List[VmgLevel], nu1: int = 2, nu2: int = 2,
         e_u = _mm(_mm(level.pro_full, coarse.u - coarse0.u), level.pro_full.T)
         e_v = _mm(_mm(level.pro_full, coarse.v - coarse0.v), level.pro_full.T)
         e_p = _mm(_mm(level.pro_inner, coarse.p - coarse0.p), level.pro_inner.T)
-        u = state.u + _zero_boundary(e_u)
-        v = state.v + _zero_boundary(e_v)
-        p = state.p + e_p
+        u = state.u + damping * _zero_boundary(e_u)
+        v = state.v + damping * _zero_boundary(e_v)
+        p = state.p + damping * e_p
         u, v = core.enforce_bc(level.ops, u, v)
         state = core.SpectralState(u=u, v=v, p=p)
 
@@ -194,12 +215,22 @@ class VMGSolver(SGSolver):
     NU2 = 2
     NU_COARSE = 30
 
+    def _damping(self) -> float:
+        """Correction damping: full at low Re; under-relaxed when the coarse
+        grids are convection-under-resolved (empirically needed for
+        Re >~ 400 with N/2^levels coarse orders)."""
+        Re = float(self.params.Re)
+        if Re <= 200:
+            return 1.0
+        return 0.6
+
     def solve(self, tolerance: float = None, max_iter: int = None) -> None:
         tol = self.params.tolerance if tolerance is None else tolerance
         max_iter = self.params.max_iterations if max_iter is None else max_iter
         levels = build_vmg_levels(self.params)
         log.info("VMG hierarchy: N = %s", [lv.n for lv in levels])
-        v_cycle = make_v_cycle(levels, self.NU1, self.NU2, self.NU_COARSE)
+        v_cycle = make_v_cycle(levels, self.NU1, self.NU2, self.NU_COARSE,
+                               damping=self._damping())
         # per-cycle work = nu1+nu2 fine smoothing steps; scale the cycle
         # budget so max_iterations keeps its fine-step meaning
         max_cycles = max(1, max_iter // (self.NU1 + self.NU2))

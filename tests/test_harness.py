@@ -171,3 +171,47 @@ class TestMainDriver:
         M.main(over)
         out = M.main(over + ["plot_only=true"])
         assert out is None
+
+
+class TestMultirunBatched:
+    def test_batched_sweep_end_to_end(self, tmp_path, monkeypatch):
+        """A homogeneous Re sweep runs as ONE vmapped batch and logs every
+        lane as its own tracked child run with artifacts."""
+        monkeypatch.chdir(tmp_path)
+        import main as M
+
+        objectives = M.main([
+            "-m", "solver=spectral/sg", "N=12", "Re=100,400",
+            "tolerance=1e-4", "max_iterations=4000",
+            "solver.chunk_size=200",
+            "experiment_name=TestBatchSweep", "sweep_name=batch-sweep",
+            "mlflow.tracking_uri=" + str(tmp_path / "mlruns"),
+        ])
+        assert len(objectives) == 2
+        from anap3_tpu.utils import tracking as T
+
+        runs = T.search_runs("TestBatchSweep", status="FINISHED")
+        children = [r for r in runs if r["tags"].get("sweep") == "child"]
+        assert len(children) == 2
+        res = sorted(float(r["params"]["Re"]) for r in children)
+        assert res == [100.0, 400.0]
+        for r in children:
+            art = Path(r["path"]) / "artifacts"
+            assert (art / "solution.vts").exists()
+            assert "psi_min" in r["metrics"]
+            assert "timesteps_per_sec" in r["metrics"]
+        parents = [r for r in T.search_runs("TestBatchSweep")
+                   if r["tags"].get("is_parent") == "true"]
+        assert len(parents) == 1
+        # comparison plots on the parent
+        parent_art = Path(parents[0]["path"]) / "artifacts" / "plots"
+        assert (parent_art / "ghia_comparison.pdf").exists()
+
+    def test_heterogeneous_sweep_falls_back_to_serial(self, tmp_path,
+                                                      monkeypatch):
+        monkeypatch.chdir(tmp_path)
+        import main as M
+
+        jobs = M.C.expand_multirun(M.REPO_ROOT / "conf",
+                                   ["solver=spectral/sg", "N=8,12"])
+        assert not M._batchable(jobs)  # differing N -> no shared operators

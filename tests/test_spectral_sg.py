@@ -155,3 +155,13 @@ class TestRunnerSemantics:
         solver = SGSolver(params=params)
         solver.solve()
         assert solver.metrics.iterations == it_py
+
+
+class TestLegendreBasis:
+    def test_sg_converges_with_legendre(self):
+        solver = SGSolver(params=make_params(basis_type="legendre",
+                                             nx=12, ny=12, tolerance=1e-4,
+                                             max_iterations=6000))
+        solver.solve()
+        assert solver.metrics.converged
+        assert solver.metrics.psi_min == pytest.approx(-0.103, abs=0.02)
