@@ -89,6 +89,8 @@ class SpectralParameters(Parameters):
     corner_smoothing: float = 0.15
     multigrid: str = "none"  # "none" | "fsg"
     n_levels: int = 3
+    # Use the fused Pallas RK4 kernel (float32, TPU; ops/pallas_step.py)
+    use_pallas: bool = False
     coarse_tolerance_factor: float = 10.0
     prolongation_method: str = "fft"
     restriction_method: str = "fft"

@@ -54,8 +54,13 @@ class SGSolver(CavitySolver):
         max_iter = self.params.max_iterations if max_iter is None else max_iter
         ops = self.ops
 
-        def step(state):
-            return core.sg_step(ops, state)
+        if getattr(self.params, "use_pallas", False):
+            from ..ops.pallas_step import make_pallas_sg_step
+
+            step = make_pallas_sg_step(ops)
+        else:
+            def step(state):
+                return core.sg_step(ops, state)
 
         ckpt_mgr, start_iter = None, 0
         if self.params.checkpoint_dir:

@@ -215,3 +215,36 @@ class TestMultirunBatched:
         jobs = M.C.expand_multirun(M.REPO_ROOT / "conf",
                                    ["solver=spectral/sg", "N=8,12"])
         assert not M._batchable(jobs)  # differing N -> no shared operators
+
+
+class TestOptimizationDriver:
+    def test_corner_smoothing_optimization_e2e(self, tmp_path, monkeypatch):
+        """Interval() overrides route to the TPE loop; trials + summary land
+        on the parent run."""
+        monkeypatch.chdir(tmp_path)
+        import main as M
+
+        best = M.main([
+            "-m", "solver=spectral/sg", "N=10", "Re=100",
+            "tolerance=1e-3", "max_iterations=2000",
+            "solver.chunk_size=200",
+            "solver.corner_smoothing=interval(0.05,0.3)",
+            "+optuna.objective=fv_l2_error", "+optuna.n_trials=3",
+            "+optuna.n_startup_trials=2", "+optuna.seed=0",
+            "experiment_name=TestOpt", "sweep_name=opt-sweep",
+            "mlflow.tracking_uri=" + str(tmp_path / "mlruns"),
+        ])
+        assert np.isfinite(best)
+        from anap3_tpu.utils import tracking as T
+
+        runs = T.search_runs("TestOpt")
+        parents = [r for r in runs if r["tags"].get("is_parent") == "true"]
+        assert len(parents) == 1
+        trials_file = (Path(parents[0]["path"]) / "artifacts" /
+                       "optuna_trials.json")
+        assert trials_file.exists()
+        trials = json.loads(trials_file.read_text())
+        assert len(trials["data"]) == 3
+        assert "best_objective" in parents[0]["metrics"]
+        children = [r for r in runs if r["tags"].get("sweep") == "child"]
+        assert len(children) == 3

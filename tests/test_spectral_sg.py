@@ -165,3 +165,26 @@ class TestLegendreBasis:
         solver.solve()
         assert solver.metrics.converged
         assert solver.metrics.psi_min == pytest.approx(-0.103, abs=0.02)
+
+
+class TestPallasStep:
+    def test_fused_kernel_matches_xla_path(self):
+        """The Pallas whole-step kernel (interpret mode on CPU) reproduces
+        the XLA step to float32 roundoff, including metrics."""
+        from anap3_tpu.ops.pallas_step import make_pallas_sg_step
+
+        params = make_params(nx=16, ny=16, dtype="float32")
+        ops, _ = core.build_spectral_ops(params)
+        state = core.initial_state(ops)
+        for _ in range(5):
+            state, _ = core.sg_step(ops, state)
+        pstep = make_pallas_sg_step(ops, interpret=True)
+        s_ref, m_ref = core.sg_step(ops, state)
+        s_pl, m_pl = pstep(state)
+        np.testing.assert_allclose(np.asarray(s_pl.u), np.asarray(s_ref.u),
+                                   atol=5e-6)
+        np.testing.assert_allclose(np.asarray(s_pl.p), np.asarray(s_ref.p),
+                                   atol=5e-6)
+        for key in m_ref:
+            np.testing.assert_allclose(float(m_pl[key]), float(m_ref[key]),
+                                       rtol=5e-5)
