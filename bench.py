@@ -57,10 +57,24 @@ def bench_device() -> tuple[float, dict]:
     ops, _ = core.build_spectral_ops(params)
     state = core.initial_state(ops)
 
+    # Fused Pallas step (ops/pallas_step.py): same math as the XLA path to
+    # one f32 ulp, ~equal-or-better throughput, and second-scale kernel
+    # compiles (the XLA scan can take minutes through remote compilation).
+    step_kind = "pallas"
+    try:
+        from anap3_tpu.ops.pallas_step import make_pallas_sg_step
+
+        step_fn = make_pallas_sg_step(ops)
+    except Exception:
+        step_kind = "xla"
+
+        def step_fn(s):
+            return core.sg_step(ops, s)
+
     @jax.jit
     def run_chunk(state):
         def body(s, _):
-            s, _m = core.sg_step(ops, s)
+            s, _m = step_fn(s)
             return s, ()
         s, _ = jax.lax.scan(body, state, None, length=STEPS_PER_CALL)
         return s
@@ -87,6 +101,7 @@ def bench_device() -> tuple[float, dict]:
     rate = steps / elapsed
     extras = {
         "device": str(jax.devices()[0]),
+        "step_kind": step_kind,
         "compile_seconds": round(compile_s, 2),
         "steps_timed": steps,
         "final_u_finite": bool(np.isfinite(np.asarray(state.u)).all()),
