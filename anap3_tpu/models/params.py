@@ -89,8 +89,10 @@ class SpectralParameters(Parameters):
     corner_smoothing: float = 0.15
     multigrid: str = "none"  # "none" | "fsg"
     n_levels: int = 3
-    # Use the fused Pallas RK4 kernel (float32, TPU; ops/pallas_step.py)
-    use_pallas: bool = False
+    # Fused Pallas RK4 kernel (ops/pallas_step.py): "auto" uses it on TPU
+    # with float32 (1-ulp parity with the XLA path, far faster compiles);
+    # true/false force it on/off.
+    use_pallas: str = "auto"
     coarse_tolerance_factor: float = 10.0
     prolongation_method: str = "fft"
     restriction_method: str = "fft"

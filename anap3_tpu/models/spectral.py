@@ -54,7 +54,7 @@ class SGSolver(CavitySolver):
         max_iter = self.params.max_iterations if max_iter is None else max_iter
         ops = self.ops
 
-        if getattr(self.params, "use_pallas", False):
+        if self._pallas_enabled():
             from ..ops.pallas_step import make_pallas_sg_step
 
             step = make_pallas_sg_step(ops)
@@ -86,6 +86,20 @@ class SGSolver(CavitySolver):
         )
         self.state = result.state
         self._store_results(result)
+
+    def _pallas_enabled(self) -> bool:
+        flag = getattr(self.params, "use_pallas", "auto")
+        if isinstance(flag, bool):
+            return flag
+        if str(flag).lower() in ("true", "1", "yes"):
+            return True
+        if str(flag).lower() in ("false", "0", "no"):
+            return False
+        # auto: fused kernel on TPU float32 single-grid solves
+        import jax
+
+        return (jax.default_backend() == "tpu"
+                and jnp.dtype(self.params.dtype) == jnp.float32)
 
     # -- field plumbing --------------------------------------------------
 
