@@ -69,6 +69,7 @@ class CavitySolver:
     def _store_results(self, result: IterationResult,
                        max_timeseries_points: int = 1000) -> None:
         self.fields = self._final_fields()
+        self.first_chunk_time = getattr(result, "first_chunk_time", 0.0)
         hist = result.history
 
         def downsample(data):

@@ -59,6 +59,10 @@ class IterationResult:
     # Per-iteration histories, starting at iteration index WARMUP_ITERS
     # (lists of floats, one entry per recorded iteration).
     history: Dict[str, List[float]]
+    # Wall time of the FIRST chunk call (dominated by XLA/Mosaic compilation;
+    # can be minutes on remote-compile setups). wall_time includes it, for
+    # parity with the reference which also times its first-call numba JIT.
+    first_chunk_time: float = 0.0
 
 
 def _rel_change(new: jnp.ndarray, old: jnp.ndarray) -> jnp.ndarray:
@@ -168,11 +172,15 @@ def run_fixed_point(
     t0 = time.time()
 
     it = start_iteration
+    first_chunk_time = 0.0
     while it < max_iterations:
+        t_chunk = time.time()
         state, done, conv_iter, chunk_converged, rows = runner(
             state, jnp.asarray(it, dtype=jnp.int32)
         )
         done_host = bool(done)
+        if first_chunk_time == 0.0:
+            first_chunk_time = time.time() - t_chunk
         conv_iter_host = int(conv_iter)
         rows_host = np.asarray(rows)
 
@@ -222,4 +230,5 @@ def run_fixed_point(
         diverged=diverged,
         wall_time=wall,
         history=history,
+        first_chunk_time=first_chunk_time,
     )

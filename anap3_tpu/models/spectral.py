@@ -193,6 +193,7 @@ class FSGSolver(SGSolver):
         total_iters = 0
         converged = False
         diverged = False
+        compile_time = 0.0
         state: Optional[core.SpectralState] = None
 
         for level_idx, n in enumerate(orders):
@@ -209,8 +210,13 @@ class FSGSolver(SGSolver):
             else:
                 state = self._prolongate(state, prev_n, n, ops, dtype)
 
-            def step(s, _ops=ops):
-                return core.sg_step(_ops, s)
+            if self._pallas_enabled():
+                from ..ops.pallas_step import make_pallas_sg_step
+
+                step = make_pallas_sg_step(ops)
+            else:
+                def step(s, _ops=ops):
+                    return core.sg_step(_ops, s)
 
             result = run_fixed_point(
                 step, lambda s: (s.u, s.v), state,
@@ -223,6 +229,7 @@ class FSGSolver(SGSolver):
             total_iters += result.iterations
             converged = result.converged
             diverged = result.diverged
+            compile_time += result.first_chunk_time
             log.info("FSG level %d (N=%d): %d iters, converged=%s",
                      level_idx, n, result.iterations, converged)
             if diverged:
@@ -253,6 +260,7 @@ class FSGSolver(SGSolver):
             state=state, iterations=total_iters,
             converged=bool(converged and not diverged),
             diverged=bool(diverged), wall_time=wall, history=history,
+            first_chunk_time=compile_time,
         )
         self._store_results(result)
         log.info("FSG completed in %.2fs: %d iterations, converged=%s",

@@ -143,6 +143,9 @@ def log_solver_results(cfg: dict, solver, parent_run_id: str | None = None,
         metrics = solver.metrics.to_mlflow()
         wall = max(solver.metrics.wall_time_seconds, 1e-9)
         metrics["timesteps_per_sec"] = solver.metrics.iterations / wall
+        # first-chunk (compile-dominated) time, so throughput can be judged
+        # net of XLA/Mosaic compilation
+        metrics["first_chunk_seconds"] = getattr(solver, "first_chunk_time", 0.0)
         T.log_metrics(metrics)
         if solver.time_series:
             batch = solver.time_series.to_batch()
