@@ -149,12 +149,12 @@ def fv_step(ops: FVOps, state: FVState):
     dx, dy = ops.dx, ops.dy
     vol = dx * dy
 
-    # gradients (pressure unlimited, velocities limited) — fv/solver.py:184-196
+    # pressure gradient (unlimited) — fv/solver.py:184-188. The reference
+    # also computes Barth-Jespersen-limited VELOCITY gradients here
+    # (fv/solver.py:191-196), but they feed only its least-squares TVD
+    # machinery; our deferred correction (ops/fv_stencils.py) reads the true
+    # neighbor values directly, so those gradients would be dead code.
     gpx, gpy = st.cell_gradient(p, dx, dy, use_limiter=False)
-    gux, guy = st.cell_gradient(u, dx, dy, use_limiter=True)
-    gvx, gvy = st.cell_gradient(v, dx, dy, use_limiter=True)
-    del gux, guy, gvx, gvy  # gradients feed only the (removed) LS path; the
-    # deferred correction uses true neighbor values directly.
 
     # momentum predictors
     cu = st.momentum_coefficients(mx, my, ops.mu, dx, dy,

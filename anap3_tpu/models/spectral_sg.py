@@ -103,6 +103,11 @@ def build_spectral_ops(params: SpectralParameters, n: int | None = None,
                        dtype=None) -> Tuple[SpectralOps, dict]:
     """Construct operators + grid info for polynomial order ``n`` (default params.nx)."""
     n = int(params.nx if n is None else n)
+    if params.nx != params.ny:
+        raise ValueError(
+            "Spectral solvers use a square polynomial order (nx == ny); "
+            f"got nx={params.nx}, ny={params.ny}. (The reference has the "
+            "same practical restriction: every config sets both to N.)")
     dtype = jnp.dtype(params.dtype) if dtype is None else jnp.dtype(dtype)
 
     bx = basis_ops.make_basis(params.basis_type, (0.0, params.Lx))

@@ -100,6 +100,19 @@ def find_existing_run(cfg: dict) -> str:
     return run_id
 
 
+def _tag_cluster_job():
+    """Tag LSF job info when running under a scheduler (base.py:856-866)."""
+    job_id = os.environ.get("LSB_JOBID")
+    if not job_id:
+        return
+    T.set_tag("lsf.job_id", job_id)
+    desc = f"HPC Job: {os.environ.get('LSB_JOBNAME', '')} (ID: {job_id}"
+    idx = os.environ.get("LSB_JOBINDEX", "")
+    if idx:
+        desc += f", Index: {idx}"
+    T.set_tag("mlflow.note.content", desc + ")")
+
+
 def _live_log(iteration, metrics):
     payload = {}
     for key, name in _LIVE_METRIC_NAMES.items():
@@ -191,6 +204,7 @@ def run_solver(cfg: dict, parent_run_id: str | None = None):
     with T.start_run(run_name=run_name, tags=tags) as run:
         T.log_params(solver.params.to_mlflow())
         T.log_dict(_plain(cfg), "config.yaml")
+        _tag_cluster_job()
         solver._log_callback = _live_log
         log.info("Solving: %s N=%s Re=%s", solver_name, cfg["N"], cfg["Re"])
         from anap3_tpu.utils.profiling import device_trace
