@@ -72,10 +72,7 @@ def load_timeseries(run_id: str, tracking_uri=None,
 def upload_plots(run_id: str, plot_paths: List[Path], tracking_uri=None) -> None:
     if tracking_uri:
         T.set_tracking_uri(tracking_uri)
-    run = T.start_run(run_id=run_id)
-    try:
+    with T.attach_run(run_id):
         for p in plot_paths:
             if p and Path(p).exists():
                 T.log_artifact(p, artifact_path="plots")
-    finally:
-        T._state["stack"].pop()  # re-attached run: don't overwrite its status

@@ -29,9 +29,10 @@ log = logging.getLogger(__name__)
 
 __all__ = [
     "set_tracking_uri", "get_tracking_uri", "set_experiment", "start_run",
-    "active_run", "end_run", "log_params", "log_metrics", "log_metric",
-    "set_tag", "log_artifact", "log_dict", "log_table", "log_batch",
-    "search_runs", "get_metric_history", "download_artifacts", "Run",
+    "active_run", "end_run", "attach_run", "log_params", "log_metrics",
+    "log_metric", "set_tag", "log_artifact", "log_dict", "log_table",
+    "log_batch", "search_runs", "get_metric_history", "download_artifacts",
+    "Run",
 ]
 
 _state = {"uri": Path("./mlruns"), "experiment_id": None, "stack": []}
@@ -171,6 +172,25 @@ def start_run(run_name: Optional[str] = None, tags: Optional[dict] = None,
 
 def active_run() -> Optional[Run]:
     return _state["stack"][-1] if _state["stack"] else None
+
+
+class attach_run:
+    """Context manager that temporarily re-attaches an EXISTING run for
+    additional logging without touching its status on exit (unlike
+    ``start_run(run_id=...)`` + ``end_run``, which would re-finalize it)."""
+
+    def __init__(self, run_id: str):
+        self.run_id = run_id
+
+    def __enter__(self) -> Run:
+        path = _run_dir(self.run_id)
+        run = Run(self.run_id, path.parent.name, path)
+        _state["stack"].append(run)
+        return run
+
+    def __exit__(self, exc_type, exc, tb):
+        _state["stack"].pop()
+        return False
 
 
 def end_run(status: str = "FINISHED") -> None:

@@ -184,8 +184,7 @@ def log_solver_results(cfg: dict, solver, parent_run_id: str | None = None,
         return run.run_id, validation_errors
     finally:
         if own_run:
-            end = T.end_run
-            end()
+            T.end_run()
 
 
 def run_solver(cfg: dict, parent_run_id: str | None = None):
@@ -275,7 +274,7 @@ def _get_or_create_parent(cfg: dict) -> str:
     if existing:
         return existing[0]["run_id"]
     run = T.start_run(run_name=sweep_name, tags={"is_parent": "true"})
-    T._state["stack"].pop()  # keep it open in the store but not on our stack
+    T._state["stack"].pop()  # leave the parent open in the store, detached
     return run.run_id
 
 
@@ -474,8 +473,7 @@ def run_optimization(overrides, interval_params):
     best_params, best_value = sampler.best
     log.info("Best trial: %s -> %.6e", best_params, best_value)
     # Optuna-style summary on the parent run (callback.py:219-313)
-    run = T.start_run(run_id=parent_id)
-    try:
+    with T.attach_run(parent_id):
         T.log_table(
             [{"trial": i, **p, "objective": v}
              for i, (p, v) in enumerate(sampler.trials)],
@@ -484,8 +482,6 @@ def run_optimization(overrides, interval_params):
         for k, v in best_params.items():
             if isinstance(v, (int, float)):
                 T.log_metrics({f"best_{k.replace('.', '_')}": float(v)})
-    finally:
-        T._state["stack"].pop()
     return best_value
 
 
