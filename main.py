@@ -280,6 +280,7 @@ def _get_or_create_parent(cfg: dict) -> str:
 
 _BATCHABLE_SOLVERS = {
     "anap3_tpu.models.spectral.SGSolver",
+    "anap3_tpu.models.spectral.FSGSolver",
     "anap3_tpu.models.fv.FVSolver",
 }
 # solver keys that may differ between lanes of one vmapped batch (they live
@@ -314,19 +315,6 @@ def run_multirun_batched(jobs):
 
     solvers = [C.instantiate(cfg["solver"]) for cfg in jobs]
     first = solvers[0]
-    if type(first).__name__ == "SGSolver":
-        from anap3_tpu.models import spectral_sg as sgcore
-
-        step_fn = sgcore.sg_step
-    else:
-        from anap3_tpu.models.fv import fv_step
-
-        step_fn = fv_step
-
-    import jax.numpy as jnp
-
-    ops = stack_ops([s.ops for s in solvers])
-    states = jax.tree.map(lambda *a: jnp.stack(a), *[s.state for s in solvers])
 
     # shard the batch axis over the device mesh when lanes divide evenly
     mesh = None
@@ -340,24 +328,48 @@ def run_multirun_batched(jobs):
 
     log.info("Batched sweep: %d lanes of %s (N=%s)", len(jobs),
              type(first).__name__, jobs[0]["N"])
-    res = run_batched_sweep(
-        step_fn, lambda s: (s.u, s.v), ops, states,
-        tolerance=float(jobs[0]["tolerance"]),
-        max_iterations=int(jobs[0]["max_iterations"]), mesh=mesh)
+
+    if type(first).__name__ == "FSGSolver":
+        from anap3_tpu.parallel.fsg_sweep import run_batched_fsg
+
+        lane_results = run_batched_fsg([s.params for s in solvers], mesh=mesh)
+    else:
+        if type(first).__name__ == "SGSolver":
+            from anap3_tpu.models import spectral_sg as sgcore
+
+            step_fn = sgcore.sg_step
+        else:
+            from anap3_tpu.models.fv import fv_step
+
+            step_fn = fv_step
+
+        import jax.numpy as jnp
+
+        ops = stack_ops([s.ops for s in solvers])
+        states = jax.tree.map(lambda *a: jnp.stack(a),
+                              *[s.state for s in solvers])
+        res = run_batched_sweep(
+            step_fn, lambda s: (s.u, s.v), ops, states,
+            tolerance=float(jobs[0]["tolerance"]),
+            max_iterations=int(jobs[0]["max_iterations"]), mesh=mesh)
+        lane_results = []
+        for k in range(len(jobs)):
+            n_rec = max(0, int(res.iterations[k]) - WARMUP_ITERS)
+            history = {key: res.history[key][k][:n_rec].tolist()
+                       for key in res.history}
+            lane_results.append(IterationResult(
+                state=jax.tree.map(lambda x: x[k], res.states),
+                iterations=int(res.iterations[k]),
+                converged=bool(res.converged[k]),
+                diverged=bool(res.diverged[k]),
+                wall_time=res.wall_time / len(jobs), history=history))
 
     objectives = []
     parent_ids = {}
-    for k, (cfg, solver) in enumerate(zip(jobs, solvers)):
+    for cfg, solver, result in zip(jobs, solvers, lane_results):
         parent_id = _get_or_create_parent(cfg)
         parent_ids[parent_id] = cfg
-        solver.state = jax.tree.map(lambda x: x[k], res.states)
-        n_rec = max(0, int(res.iterations[k]) - WARMUP_ITERS)
-        history = {key: res.history[key][k][:n_rec].tolist()
-                   for key in res.history}
-        result = IterationResult(
-            state=solver.state, iterations=int(res.iterations[k]),
-            converged=bool(res.converged[k]), diverged=bool(res.diverged[k]),
-            wall_time=res.wall_time / len(jobs), history=history)
+        solver.state = result.state
         solver._store_results(result)
         run_id, errors = log_solver_results(cfg, solver, parent_id)
         generate_plots(cfg, run_id)

@@ -166,3 +166,46 @@ class TestGraftEntry:
         import __graft_entry__ as G
 
         G.dryrun_multichip(8)
+
+
+class TestBatchedFSG:
+    def test_batched_fsg_matches_per_lane(self):
+        """Batched FSG lanes reproduce the standalone FSG solver physics."""
+        from anap3_tpu.models.spectral import FSGSolver
+        from anap3_tpu.parallel.fsg_sweep import run_batched_fsg
+
+        def fsg_params(Re):
+            return make_params(Re, n=24, multigrid="fsg", n_levels=2,
+                               coarse_tolerance_factor=1.0,
+                               prolongation_method="fft",
+                               restriction_method="fft",
+                               tolerance=1e-5, max_iterations=30000,
+                               chunk_size=500, name="spectral_fsg")
+
+        results = run_batched_fsg([fsg_params(100.0), fsg_params(400.0)])
+        assert len(results) == 2
+        assert all(r.converged for r in results)
+
+        solo = FSGSolver(params=fsg_params(100.0))
+        solo.solve()
+        np.testing.assert_allclose(np.asarray(results[0].state.u),
+                                   np.asarray(solo.state.u), atol=5e-3)
+
+    def test_main_dispatches_fsg_batch(self, tmp_path, monkeypatch):
+        monkeypatch.chdir(tmp_path)
+        import main as M
+
+        objectives = M.main([
+            "-m", "solver=spectral/fsg", "N=24", "Re=100,400",
+            "tolerance=1e-5", "max_iterations=30000",
+            "solver.chunk_size=500", "solver.n_levels=2",
+            "experiment_name=TestFSGBatch", "sweep_name=fsg-batch",
+            "mlflow.tracking_uri=" + str(tmp_path / "mlruns"),
+        ])
+        assert len(objectives) == 2
+        from anap3_tpu.utils import tracking as T
+
+        children = [r for r in T.search_runs("TestFSGBatch")
+                    if r["tags"].get("sweep") == "child"]
+        assert len(children) == 2
+        assert all(r["metrics"].get("converged") == 1.0 for r in children)
