@@ -324,6 +324,7 @@ class FVSolver(CavitySolver):
             log_callback=self._log_callback,
             checkpoint_mgr=ckpt_mgr,
             start_iteration=start_iter,
+            convergence_metric=self.params.convergence_metric,
         )
         self.state = result.state
         self._store_results(result)

@@ -46,6 +46,11 @@ class Parameters:
     # latency (important over remote-device tunnels) at the cost of up to
     # chunk_size-1 extra frozen iterations after convergence.
     chunk_size: int = 200
+    # Convergence criterion: "rel_iter" (relative iterate change; the
+    # reference's definition) or "residual" (algebraic residual reduction
+    # relative to the warmup iteration; robust against the slow-dynamics
+    # false convergence that rel_iter exhibits in float32).
+    convergence_metric: str = "rel_iter"
 
     def to_mlflow(self) -> dict:
         return {

@@ -83,6 +83,7 @@ class SGSolver(CavitySolver):
             log_callback=self._log_callback,
             checkpoint_mgr=ckpt_mgr,
             start_iteration=start_iter,
+            convergence_metric=self.params.convergence_metric,
         )
         self.state = result.state
         self._store_results(result)
@@ -95,11 +96,13 @@ class SGSolver(CavitySolver):
             return True
         if str(flag).lower() in ("false", "0", "no"):
             return False
-        # auto: fused kernel on TPU float32 single-grid solves
+        # auto: fused kernel on TPU float32 solves that fit its VMEM budget
         import jax
+        from ..ops.pallas_step import MAX_FUSED_N
 
         return (jax.default_backend() == "tpu"
-                and jnp.dtype(self.params.dtype) == jnp.float32)
+                and jnp.dtype(self.params.dtype) == jnp.float32
+                and int(self.params.nx) <= MAX_FUSED_N)
 
     # -- field plumbing --------------------------------------------------
 
@@ -210,7 +213,9 @@ class FSGSolver(SGSolver):
             else:
                 state = self._prolongate(state, prev_n, n, ops, dtype)
 
-            if self._pallas_enabled():
+            from ..ops.pallas_step import MAX_FUSED_N
+
+            if self._pallas_enabled() and n <= MAX_FUSED_N:
                 from ..ops.pallas_step import make_pallas_sg_step
 
                 step = make_pallas_sg_step(ops)

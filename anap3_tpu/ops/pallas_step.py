@@ -25,10 +25,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..models.spectral_sg import SpectralOps, SpectralState
 
-__all__ = ["make_pallas_sg_step"]
+__all__ = ["make_pallas_sg_step", "MAX_FUSED_N"]
 
 _RK4_ALPHAS = (0.25, 1.0 / 3.0, 0.5, 1.0)
 N_METRICS = 6  # u_eq, v_eq, continuity, energy, enstrophy, palinstrophy
+
+# Largest polynomial order whose whole-step working set fits the ~16 MB VMEM
+# scoped limit (measured: N=128 uses well under; N=256 OOMs at 19.7 MB).
+MAX_FUSED_N = 192
 
 
 def _dot(a, b):
@@ -138,6 +142,10 @@ def make_pallas_sg_step(ops: SpectralOps, interpret: bool = False):
     (the MXU path); pass ``interpret=True`` to run on CPU for testing.
     """
     nf = ops.bc_u.shape[0]
+    if nf - 1 > MAX_FUSED_N:
+        raise ValueError(
+            f"fused step kernel supports N <= {MAX_FUSED_N} (got N={nf - 1}): "
+            "the whole-step working set must fit VMEM; use the XLA step")
     ni = nf - 2
     f32 = jnp.float32
 

@@ -65,7 +65,7 @@ def bench_device() -> tuple[float, dict]:
         from anap3_tpu.ops.pallas_step import make_pallas_sg_step
 
         step_fn = make_pallas_sg_step(ops)
-    except Exception:
+    except Exception:  # unsupported size/platform -> XLA path
         step_kind = "xla"
 
         def step_fn(s):

@@ -188,3 +188,16 @@ class TestPallasStep:
         for key in m_ref:
             np.testing.assert_allclose(float(m_pl[key]), float(m_ref[key]),
                                        rtol=5e-5)
+
+
+class TestResidualConvergence:
+    def test_residual_criterion_reaches_reduction(self):
+        """The residual criterion stops when max(||R_u||,||R_v||) drops by the
+        requested factor relative to the warmup iteration."""
+        solver = SGSolver(params=make_params(
+            nx=12, ny=12, tolerance=1e-3, max_iterations=20000,
+            convergence_metric="residual", chunk_size=500))
+        solver.solve()
+        assert solver.metrics.converged
+        hist = solver.time_series.continuity_residual
+        assert hist[-1] / hist[0] < 1e-3
