@@ -28,7 +28,7 @@ pressure corrections (alpha_p applied); mdot update. Residuals are
 from __future__ import annotations
 
 import logging
-from functools import partial
+
 from typing import NamedTuple
 
 import numpy as np

@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import time
 from dataclasses import dataclass
-from functools import partial
+
 from typing import Any, Callable, Dict, List, Optional, Tuple
 
 import jax

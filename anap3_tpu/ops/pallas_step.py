@@ -16,7 +16,6 @@ or directly through make_pallas_sg_step.
 
 from __future__ import annotations
 
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

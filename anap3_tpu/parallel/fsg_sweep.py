@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import logging
 import time
-from dataclasses import dataclass
+
 from typing import List, Sequence
 
 import numpy as np
