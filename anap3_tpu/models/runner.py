@@ -172,6 +172,7 @@ def run_fixed_point(
     checkpoint_mgr=None,
     start_iteration: int = 0,
     convergence_metric: str = "rel_iter",
+    chunk_runner=None,
 ) -> IterationResult:
     """Run ``step_fn`` to convergence with reference-exact semantics.
 
@@ -184,8 +185,13 @@ def run_fixed_point(
     iteration counter after a restore (pre-resume history is not replayed).
     """
     chunk = int(min(chunk, max(1, max_iterations)))
-    runner = make_chunk_runner(step_fn, get_uv, chunk, tolerance, warmup,
-                               convergence_metric)
+    if chunk_runner is not None:
+        # caller-supplied fused runner (e.g. ops/pallas_chunk.py) with the
+        # same (state, start_iter, ref_norm) -> 6-tuple contract
+        runner = chunk_runner(chunk)
+    else:
+        runner = make_chunk_runner(step_fn, get_uv, chunk, tolerance, warmup,
+                                   convergence_metric)
 
     history_rows: List[np.ndarray] = []
     iterations = start_iteration

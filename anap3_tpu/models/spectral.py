@@ -54,10 +54,20 @@ class SGSolver(CavitySolver):
         max_iter = self.params.max_iterations if max_iter is None else max_iter
         ops = self.ops
 
+        chunk_runner = None
         if self._pallas_enabled():
             from ..ops.pallas_step import make_pallas_sg_step
 
             step = make_pallas_sg_step(ops)
+            if self.params.convergence_metric == "rel_iter":
+                # whole chunks fused into single kernels (in-kernel stepping
+                # + convergence state machine)
+                from ..ops.pallas_chunk import make_pallas_chunk_runner
+                from .runner import WARMUP_ITERS
+
+                def chunk_runner(chunk):
+                    return make_pallas_chunk_runner(ops, chunk, tol,
+                                                    WARMUP_ITERS)
         else:
             def step(state):
                 return core.sg_step(ops, state)
@@ -84,6 +94,7 @@ class SGSolver(CavitySolver):
             checkpoint_mgr=ckpt_mgr,
             start_iteration=start_iter,
             convergence_metric=self.params.convergence_metric,
+            chunk_runner=chunk_runner,
         )
         self.state = result.state
         self._store_results(result)

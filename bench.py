@@ -22,7 +22,7 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 N = 128
-STEPS_PER_CALL = 50
+STEPS_PER_CALL = 500
 TARGET_SECONDS = 6.0
 
 
@@ -57,31 +57,38 @@ def bench_device() -> tuple[float, dict]:
     ops, _ = core.build_spectral_ops(params)
     state = core.initial_state(ops)
 
-    # Fused Pallas step (ops/pallas_step.py): same math as the XLA path to
-    # one f32 ulp, ~equal-or-better throughput, and second-scale kernel
-    # compiles (the XLA scan can take minutes through remote compilation).
-    step_kind = "pallas"
+    # Production TPU path (ops/pallas_chunk.py): whole chunks of RK4 steps
+    # fused into single Mosaic kernels, including the per-step convergence
+    # state machine — exactly what SGSolver runs on TPU float32. Falls back
+    # to the XLA per-step scan where Pallas is unavailable.
+    step_kind = "pallas-chunk"
     try:
-        from anap3_tpu.ops.pallas_step import make_pallas_sg_step
+        from anap3_tpu.ops.pallas_chunk import make_pallas_chunk_runner
 
-        step_fn = make_pallas_sg_step(ops)
+        runner = make_pallas_chunk_runner(ops, STEPS_PER_CALL, 1e-12, 10)
+
+        def run_chunk(state, it, ref):
+            new_state, done, conv, cv, rows, ref = runner(state, it, ref)
+            return new_state
     except Exception:  # unsupported size/platform -> XLA path
         step_kind = "xla"
 
-        def step_fn(s):
-            return core.sg_step(ops, s)
+        @jax.jit
+        def _scan(state):
+            def body(s, _):
+                s, _m = core.sg_step(ops, s)
+                return s, ()
+            s, _ = jax.lax.scan(body, state, None, length=STEPS_PER_CALL)
+            return s
 
-    @jax.jit
-    def run_chunk(state):
-        def body(s, _):
-            s, _m = step_fn(s)
-            return s, ()
-        s, _ = jax.lax.scan(body, state, None, length=STEPS_PER_CALL)
-        return s
+        def run_chunk(state, it, ref):
+            return _scan(state)
+
+    ref = jnp.asarray(jnp.inf, jnp.float32)
 
     # compile + warmup
     t0 = time.time()
-    state = run_chunk(state)
+    state = run_chunk(state, jnp.int32(0), ref)
     jax.block_until_ready(state.u)
     compile_s = time.time() - t0
 
@@ -89,9 +96,11 @@ def bench_device() -> tuple[float, dict]:
     # Sync every few calls to keep the dispatch queue bounded while still
     # overlapping host dispatch with device execution.
     n_calls = 0
+    it = STEPS_PER_CALL
     t0 = time.time()
     while time.time() - t0 < TARGET_SECONDS:
-        state = run_chunk(state)
+        state = run_chunk(state, jnp.int32(it), ref)
+        it += STEPS_PER_CALL
         n_calls += 1
         if n_calls % 40 == 0:
             jax.block_until_ready(state.u)

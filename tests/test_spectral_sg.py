@@ -201,3 +201,37 @@ class TestResidualConvergence:
         assert solver.metrics.converged
         hist = solver.time_series.continuity_residual
         assert hist[-1] / hist[0] < 1e-3
+
+
+class TestPallasChunkRunner:
+    def test_matches_xla_chunk_runner_including_convergence(self):
+        """The in-kernel chunk runner (interpret mode) reproduces the XLA
+        chunked-scan runner: identical states, metric rows and the exact
+        convergence iteration with frozen-NaN tails."""
+        from anap3_tpu.models.runner import make_chunk_runner
+        from anap3_tpu.ops.pallas_chunk import make_pallas_chunk_runner
+
+        params = make_params(nx=12, ny=12, dtype="float32")
+        ops, _ = core.build_spectral_ops(params)
+        state = core.initial_state(ops)
+        CH, TOL = 400, 1e-3
+        xla_runner = make_chunk_runner(lambda s: core.sg_step(ops, s),
+                                       lambda s: (s.u, s.v), CH, TOL)
+        pl_runner = make_pallas_chunk_runner(ops, CH, TOL, 10, interpret=True)
+        ref = jnp.asarray(jnp.inf, jnp.float32)
+        sx = sp = state
+        for k in range(4):
+            it = jnp.int32(k * CH)
+            sx, dx_, cx, convx, rx, _ = xla_runner(sx, it, ref)
+            sp, dp_, cp, convp, rp, _ = pl_runner(sp, it, ref)
+            assert bool(dx_) == bool(dp_)
+            if bool(dx_):
+                assert int(cx) == int(cp)
+                assert bool(convx) and bool(convp)
+                assert (np.isnan(np.asarray(rx)[:, 0])
+                        == np.isnan(np.asarray(rp)[:, 0])).all()
+                break
+            np.testing.assert_allclose(np.asarray(sp.u), np.asarray(sx.u),
+                                       atol=1e-6)
+        else:
+            pytest.fail("expected convergence within 4 chunks")
