@@ -226,10 +226,18 @@ class FSGSolver(SGSolver):
 
             from ..ops.pallas_step import MAX_FUSED_N
 
+            chunk_runner = None
             if self._pallas_enabled() and n <= MAX_FUSED_N:
                 from ..ops.pallas_step import make_pallas_sg_step
 
                 step = make_pallas_sg_step(ops)
+                if self.params.convergence_metric == "rel_iter":
+                    from ..ops.pallas_chunk import make_pallas_chunk_runner
+                    from .runner import WARMUP_ITERS
+
+                    def chunk_runner(chunk, _ops=ops, _tol=level_tol):
+                        return make_pallas_chunk_runner(_ops, chunk, _tol,
+                                                        WARMUP_ITERS)
             else:
                 def step(s, _ops=ops):
                     return core.sg_step(_ops, s)
@@ -240,6 +248,7 @@ class FSGSolver(SGSolver):
                 chunk=self.params.chunk_size,
                 log_callback=self._log_callback
                 if level_idx == len(orders) - 1 else None,
+                chunk_runner=chunk_runner,
             )
             state = result.state
             total_iters += result.iterations
