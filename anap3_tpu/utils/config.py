@@ -125,9 +125,16 @@ def _place_at_package(cfg: dict, body: dict, package: str | None,
 
 
 def _compose_group(conf_dir: Path, group: str, name: str, cfg: dict,
-                   replace_package: str | None = None) -> None:
+                   replace_package: str | None = None,
+                   clear_package: bool = False) -> None:
     """Load conf/<group>/<name>.yaml (recursively resolving its defaults) and
-    merge it into cfg at its package target."""
+    merge it into cfg at its package target.
+
+    ``clear_package`` implements Hydra's group RE-SELECTION semantics: the
+    previous selection's subtree is dropped first, so switching e.g.
+    solver=fv -> solver=spectral/fsg does not leak fv-only keys into the
+    spectral parameters.
+    """
     path = conf_dir / group / f"{name}.yaml"
     if not path.exists():
         available = sorted(p.stem for p in (conf_dir / group).glob("*.yaml")) \
@@ -135,6 +142,10 @@ def _compose_group(conf_dir: Path, group: str, name: str, cfg: dict,
         raise ConfigError(
             f"Config not found: {group}/{name} (available: {available})")
     body, package = _load_yaml(path)
+    if clear_package:
+        target = replace_package or package or group.replace("/", ".")
+        if target != "_global_":
+            _del_path(cfg, target)
     defaults = body.pop("defaults", [])
     # nested defaults inside a group file (e.g. spectral/fsg extends sg)
     for entry in defaults:
@@ -210,13 +221,14 @@ def compose(conf_dir, overrides: Iterable[str] = (),
                 if k == "_self_":
                     continue
                 group = k.replace("override ", "").strip().lstrip("/")
-                _compose_group(conf_dir, group, str(v), cfg)
+                _compose_group(conf_dir, group, str(v), cfg,
+                               clear_package=True)
         _deep_merge(cfg, body)
 
     # CLI group re-selections outrank experiment defaults (Hydra precedence),
-    # so re-apply them after the overlays.
+    # so re-apply them after the overlays (with replace semantics).
     for group, name in group_over.items():
-        _compose_group(conf_dir, group, name, cfg)
+        _compose_group(conf_dir, group, name, cfg, clear_package=True)
 
     for key, val in kv_over:
         _set_path(cfg, key, val)

@@ -248,3 +248,23 @@ class TestOptimizationDriver:
         assert "best_objective" in parents[0]["metrics"]
         children = [r for r in runs if r["tags"].get("sweep") == "child"]
         assert len(children) == 3
+
+
+class TestGroupReselection:
+    def test_experiment_solver_override_replaces_not_merges(self):
+        """Switching solver groups must DROP the previous group's keys
+        (regression: fv-only keys leaked into SpectralParameters when an
+        experiment overlay re-selected the solver)."""
+        cfg = C.compose(CONF, ["+experiment/optimization=corner_smoothing"])
+        assert cfg["solver"]["_target_"].endswith("FSGSolver")
+        assert "convection_scheme" not in cfg["solver"]
+        assert "alpha_uv" not in cfg["solver"]
+        solver = C.instantiate(dict(cfg["solver"],
+                                    max_iterations=5, tolerance=1e-1))
+        assert solver.params.multigrid == "fsg"
+
+    def test_cli_reselection_after_experiment(self):
+        cfg = C.compose(CONF, ["+experiment/validation/ghia=spectral",
+                               "solver=fv"])
+        assert cfg["solver"]["_target_"].endswith("FVSolver")
+        assert "basis_type" not in cfg["solver"]
