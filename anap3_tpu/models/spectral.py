@@ -259,6 +259,17 @@ class FSGSolver(SGSolver):
                      level_idx, n, result.iterations, converged)
             if diverged:
                 log.warning("FSG level %d diverged (NaN/Inf); aborting", level_idx)
+                if n != int(self.params.nx):
+                    # finalize with a fine-grid-shaped NaN state so downstream
+                    # analysis sees a well-formed (diverged) solution instead
+                    # of a coarse-level shape mismatch
+                    nf = int(self.params.nx) + 1
+                    nan = float("nan")
+                    state = core.SpectralState(
+                        u=jnp.full((nf, nf), nan, dtype),
+                        v=jnp.full((nf, nf), nan, dtype),
+                        p=jnp.full((nf - 2, nf - 2), nan, dtype),
+                    )
                 break
             prev_n = n
 

@@ -120,3 +120,17 @@ class TestTransferMatrixProperties:
         U = np.ones((13, 13))
         U_f = P_full @ U @ P_full.T
         np.testing.assert_allclose(U_f, 1.0, atol=1e-10)
+
+
+class TestDivergenceHandling:
+    def test_coarse_level_divergence_yields_fine_shaped_nan_state(self):
+        """A run that diverges on a COARSE level must still finalize with a
+        fine-grid-shaped (NaN) state and converged=False (regression: the
+        finalization used the fine operators on the coarse state)."""
+        solver = FSGSolver(params=make_params(
+            nx=24, ny=24, n_levels=2, CFL=60.0,  # wildly unstable
+            tolerance=1e-6, max_iterations=2000))
+        solver.solve()
+        assert not solver.metrics.converged
+        assert np.asarray(solver.state.u).shape == (25, 25)
+        assert solver.fields.u.shape == (25 * 25,)
