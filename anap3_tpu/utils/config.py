@@ -324,17 +324,9 @@ def expand_multirun(conf_dir, overrides: Iterable[str] = (),
     spectral/sg,spectral/fsg``) recompose the group per job. ``Interval``
     values are NOT expanded here (the optimizer consumes them).
     """
-    base = compose(conf_dir, overrides, config_name)
+    # split comma-valued CLI overrides out BEFORE composing the base config
+    # (a sweep like solver=fv,spectral/sg is not a valid single selection)
     sweep_params: Dict[str, list] = {}
-
-    sweeper = _get_path(base, "hydra.sweeper.params", default=None)
-    if isinstance(sweeper, dict):
-        for k, v in sweeper.items():
-            vals = _parse_value(str(v)) if not isinstance(v, (list, Interval)) else v
-            if isinstance(vals, Interval):
-                continue
-            sweep_params[k] = vals if isinstance(vals, list) else [vals]
-
     cli_final: List[str] = []
     for ov in overrides:
         if "=" in ov and not ov.startswith("~"):
@@ -344,6 +336,18 @@ def expand_multirun(conf_dir, overrides: Iterable[str] = (),
                 sweep_params[key.lstrip("+")] = parsed
                 continue
         cli_final.append(ov)
+
+    base = compose(conf_dir, cli_final, config_name)
+
+    sweeper = _get_path(base, "hydra.sweeper.params", default=None)
+    if isinstance(sweeper, dict):
+        for k, v in sweeper.items():
+            if k in sweep_params:
+                continue  # CLI sweep outranks the experiment's sweeper params
+            vals = _parse_value(str(v)) if not isinstance(v, (list, Interval)) else v
+            if isinstance(vals, Interval):
+                continue
+            sweep_params[k] = vals if isinstance(vals, list) else [vals]
 
     if not sweep_params:
         return [base]

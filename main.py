@@ -391,6 +391,16 @@ def _sweep_comparison_plots(parent_ids):
             log.warning("Comparison plotting failed: %s", exc)
 
 
+def _batch_signature(cfg):
+    """Jobs sharing this signature can ride one vmapped device batch."""
+    s = cfg["solver"]
+    if s.get("_target_") not in _BATCHABLE_SOLVERS:
+        return None
+    items = tuple(sorted((k, repr(v)) for k, v in s.items()
+                         if k not in _BATCHABLE_VARYING))
+    return items
+
+
 def run_multirun(overrides):
     jobs = C.expand_multirun(REPO_ROOT / "conf", overrides)
 
@@ -401,9 +411,33 @@ def run_multirun(overrides):
         return run_optimization(overrides, interval_params)
 
     vmap_ok = base.get("machine", {}).get("vmap_sweeps", True)
-    if vmap_ok and _batchable(jobs) and not base.get("plot_only"):
-        return run_multirun_batched(jobs)
+    if vmap_ok and not base.get("plot_only"):
+        # group jobs by batchability signature: a mixed sweep like
+        # solver=fv,spectral x N=16..128 x Re=... batches each homogeneous
+        # (solver, N, ...) group over its Re/corner lanes, and runs the
+        # singletons serially.
+        groups = {}
+        order = []
+        for i, cfg in enumerate(jobs):
+            sig = _batch_signature(cfg)
+            key = sig if sig is not None else ("serial", i)
+            groups.setdefault(key, []).append(cfg)
+            if key not in order:
+                order.append(key)
+        objectives = []
+        for key in order:
+            group = groups[key]
+            if len(group) >= 2 and key[0] != "serial" and _batchable(group):
+                log.info("=== batched group: %d lanes ===", len(group))
+                objectives.extend(run_multirun_batched(group))
+            else:
+                objectives.extend(_run_serial_jobs(group))
+        return objectives
 
+    return _run_serial_jobs(jobs)
+
+
+def _run_serial_jobs(jobs):
     parent_ids = {}
     objectives = []
     for i, cfg in enumerate(jobs):

@@ -268,3 +268,27 @@ class TestGroupReselection:
                                "solver=fv"])
         assert cfg["solver"]["_target_"].endswith("FVSolver")
         assert "basis_type" not in cfg["solver"]
+
+
+class TestGroupedBatching:
+    def test_mixed_sweep_batches_homogeneous_groups(self, tmp_path,
+                                                    monkeypatch):
+        """fv x spectral x Re sweep: each (solver) group rides one batch."""
+        monkeypatch.chdir(tmp_path)
+        import main as M
+
+        objectives = M.main([
+            "-m", "solver=fv,spectral/sg", "N=10", "Re=100,150",
+            "tolerance=1e-3", "max_iterations=2500",
+            "solver.chunk_size=250",
+            "experiment_name=TestMixed", "sweep_name=mixed",
+            "mlflow.tracking_uri=" + str(tmp_path / "mlruns"),
+        ])
+        assert len(objectives) == 4
+        from anap3_tpu.utils import tracking as T
+
+        children = [r for r in T.search_runs("TestMixed")
+                    if r["tags"].get("sweep") == "child"]
+        assert len(children) == 4
+        solvers = sorted(r["tags"]["solver"] for r in children)
+        assert solvers == ["fv", "fv", "spectral", "spectral"]
