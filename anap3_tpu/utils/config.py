@@ -328,9 +328,11 @@ def expand_multirun(conf_dir, overrides: Iterable[str] = (),
     # (a sweep like solver=fv,spectral/sg is not a valid single selection)
     sweep_params: Dict[str, list] = {}
     cli_final: List[str] = []
+    cli_keys = set()
     for ov in overrides:
         if "=" in ov and not ov.startswith("~"):
             key, val = ov.split("=", 1)
+            cli_keys.add(key.lstrip("+"))
             parsed = _parse_value(val)
             if isinstance(parsed, list):
                 sweep_params[key.lstrip("+")] = parsed
@@ -342,8 +344,8 @@ def expand_multirun(conf_dir, overrides: Iterable[str] = (),
     sweeper = _get_path(base, "hydra.sweeper.params", default=None)
     if isinstance(sweeper, dict):
         for k, v in sweeper.items():
-            if k in sweep_params:
-                continue  # CLI sweep outranks the experiment's sweeper params
+            if k in cli_keys:
+                continue  # ANY CLI override of the key outranks the sweeper
             vals = _parse_value(str(v)) if not isinstance(v, (list, Interval)) else v
             if isinstance(vals, Interval):
                 continue

@@ -292,3 +292,17 @@ class TestGroupedBatching:
         assert len(children) == 4
         solvers = sorted(r["tags"]["solver"] for r in children)
         assert solvers == ["fv", "fv", "spectral", "spectral"]
+
+
+class TestSweeperCliPrecedence:
+    def test_single_value_cli_override_pins_sweeper_param(self):
+        """A CLI N=16 must pin N even when the experiment sweeps it."""
+        jobs = C.expand_multirun(CONF, ["+experiment/validation/saad=spectral",
+                                        "N=16"])
+        assert len(jobs) == 1
+        assert jobs[0]["N"] == 16
+
+    def test_cli_comma_sweep_replaces_sweeper_param(self):
+        jobs = C.expand_multirun(CONF, ["+experiment/validation/ghia=spectral",
+                                        "N=16,20"])
+        assert sorted(j["N"] for j in jobs) == [16, 20]
