@@ -107,3 +107,36 @@ def test_legendre_mass_matrix_integrates():
     np.testing.assert_allclose(np.ones(n + 1) @ M @ np.ones(n + 1), 2.0, atol=1e-10)
     # quadratic: int x^2 = 2/3
     np.testing.assert_allclose(np.ones(n + 1) @ M @ x**2, 2.0 / 3.0, atol=1e-10)
+
+
+class TestQuadratureIntegrals:
+    def test_spectral_energy_of_analytic_field(self):
+        """Quadrature-weighted energy matches the closed-form integral."""
+        import jax.numpy as jnp
+        from anap3_tpu.models.params import SpectralParameters
+        from anap3_tpu.models import spectral_sg as core
+
+        p = SpectralParameters(nx=20, ny=20, basis_type="chebyshev",
+                               corner_treatment="smoothing", dtype="float64")
+        ops, grid = core.build_spectral_ops(p)
+        X, Y = np.meshgrid(grid["x_nodes"], grid["y_nodes"], indexing="ij")
+        u = np.sin(np.pi * X) * np.sin(np.pi * Y)
+        # E = 0.5 * int u^2 dA = 0.5 * (1/2)(1/2) = 1/8
+        E = 0.5 * float(np.sum(np.asarray(ops.W2d) * u * u))
+        assert E == pytest.approx(1.0 / 8.0, rel=1e-10)
+
+    def test_spectral_enstrophy_of_analytic_field(self):
+        import jax.numpy as jnp
+        from anap3_tpu.models.params import SpectralParameters
+        from anap3_tpu.models import spectral_sg as core
+
+        p = SpectralParameters(nx=24, ny=24, basis_type="chebyshev",
+                               corner_treatment="smoothing", dtype="float64")
+        ops, grid = core.build_spectral_ops(p)
+        X, Y = np.meshgrid(grid["x_nodes"], grid["y_nodes"], indexing="ij")
+        # u = sin(pi x) sin(pi y), v = 0 -> omega = -du/dy = -pi sin(pi x) cos(pi y)
+        u = jnp.asarray(np.sin(np.pi * X) * np.sin(np.pi * Y))
+        v = jnp.zeros_like(u)
+        omega = np.asarray(core.vorticity(ops, u, v))
+        Z = 0.5 * float(np.sum(np.asarray(ops.W2d) * omega * omega))
+        assert Z == pytest.approx(0.5 * np.pi**2 * 0.25, rel=1e-8)

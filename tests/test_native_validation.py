@@ -66,3 +66,32 @@ class TestErrorHeatmaps:
             output_dir=tmp_path)
         assert len(paths) == 2
         assert all(p.exists() for p in paths)
+
+
+class TestVtsFormats:
+    def test_reads_ascii_format(self, tmp_path):
+        """Hand-written ascii .vts files load through the same reader."""
+        n = 4
+        xs = np.linspace(0, 1, n)
+        pts = "\n".join(f"{x} {y} 0.0" for y in xs for x in xs)
+        vals = " ".join(str(float(i)) for i in range(n * n))
+        (tmp_path / "a.vts").write_text(f'''<?xml version="1.0"?>
+<VTKFile type="StructuredGrid" version="0.1" byte_order="LittleEndian">
+  <StructuredGrid WholeExtent="0 {n-1} 0 {n-1} 0 0">
+  <Piece Extent="0 {n-1} 0 {n-1} 0 0">
+    <PointData>
+      <DataArray type="Float64" Name="u" format="ascii">{vals}</DataArray>
+    </PointData>
+    <Points>
+      <DataArray type="Float64" Name="Points" NumberOfComponents="3" format="ascii">
+{pts}
+      </DataArray>
+    </Points>
+  </Piece>
+  </StructuredGrid>
+</VTKFile>''')
+        g = vts.read_vts(tmp_path / "a.vts")
+        assert g.point_data["u"].shape == (n * n,)
+        np.testing.assert_allclose(g.point_data["u"],
+                                   np.arange(n * n, dtype=float))
+        assert g.dimensions == (n, n, 1)
