@@ -248,8 +248,11 @@ def run_fixed_point(
         if history_rows
         else np.zeros((0, len(METRIC_KEYS)))
     )
-    # Reference records history only from iteration index >= warmup
-    recorded = all_rows[warmup:iterations] if iterations > warmup else all_rows[:0]
+    # Reference records history only from iteration index >= warmup.
+    # all_rows holds only THIS run's rows (post-resume), so slice relative
+    # to start_iteration: on a resume past the warmup gate nothing is skipped.
+    skip = max(0, warmup - start_iteration)
+    recorded = all_rows[skip: iterations - start_iteration]
     history = {
         key: recorded[:, i].tolist() for i, key in enumerate(METRIC_KEYS)
     }

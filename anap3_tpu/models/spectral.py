@@ -248,6 +248,7 @@ class FSGSolver(SGSolver):
                 chunk=self.params.chunk_size,
                 log_callback=self._log_callback
                 if level_idx == len(orders) - 1 else None,
+                convergence_metric=self.params.convergence_metric,
                 chunk_runner=chunk_runner,
             )
             state = result.state

@@ -239,6 +239,7 @@ class VMGSolver(SGSolver):
             tolerance=tol, max_iterations=max_cycles,
             chunk=max(1, min(50, self.params.chunk_size // (self.NU1 + self.NU2))),
             log_callback=self._log_callback,
+            convergence_metric=self.params.convergence_metric,
         )
         self.state = result.state
         self._store_results(result)
@@ -263,6 +264,7 @@ class FMGSolver(SGSolver):
         t0 = time.time()
         total_iters = 0
         converged = False
+        diverged = False
         state = None
         dtype = jnp.dtype(self.params.dtype)
         for k, level in enumerate(coarse_to_fine):
@@ -288,27 +290,51 @@ class FMGSolver(SGSolver):
                 chunk=max(1, min(50, self.params.chunk_size // 4)),
                 log_callback=self._log_callback
                 if k == len(coarse_to_fine) - 1 else None,
+                convergence_metric=self.params.convergence_metric,
             )
             state = result.state
             total_iters += result.iterations
             converged = result.converged
+            diverged = result.diverged
             log.info("FMG level %d (N=%d): %d outer iterations, converged=%s",
                      k, level.n, result.iterations, converged)
-            if result.diverged:
+            if diverged:
+                log.warning("FMG level %d (N=%d) diverged (NaN/Inf); aborting",
+                            k, level.n)
+                if level.n != int(self.params.nx):
+                    # fine-grid-shaped NaN state (same finalization as
+                    # FSGSolver.solve) so downstream analysis sees a
+                    # well-formed diverged solution, not a shape mismatch
+                    nf = int(self.params.nx) + 1
+                    nan = float("nan")
+                    state = core.SpectralState(
+                        u=jnp.full((nf, nf), nan, dtype),
+                        v=jnp.full((nf, nf), nan, dtype),
+                        p=jnp.full((nf - 2, nf - 2), nan, dtype),
+                    )
                 break
 
         self.state = state
         wall = time.time() - t0
+        # Real final algebraic residuals + quadrature integrals, matching
+        # FSGSolver.solve's single-row history (reference spectral/fsg.py:96-124).
         R_u, R_v, R_p = core.residuals(self.ops, state.u, state.v, state.p)
+        omega = core.vorticity(self.ops, state.u, state.v)
+        dwx = _mm(self.ops.Dx, omega)
+        dwy = _mm(omega, self.ops.DyT)
+        W = self.ops.W2d
         history = {
             "rel_iter": [tol if converged else tol * 10],
             "u_eq": [float(jnp.linalg.norm(R_u))],
             "v_eq": [float(jnp.linalg.norm(R_v))],
             "continuity": [float(jnp.linalg.norm(R_p))],
-            "energy": [0.0], "enstrophy": [0.0], "palinstrophy": [0.0],
+            "energy": [float(0.5 * jnp.sum(W * (state.u**2 + state.v**2)))],
+            "enstrophy": [float(0.5 * jnp.sum(W * omega**2))],
+            "palinstrophy": [float(0.5 * jnp.sum(W * (dwx**2 + dwy**2)))],
         }
         result = IterationResult(state=state, iterations=total_iters,
-                                 converged=converged, diverged=False,
+                                 converged=bool(converged and not diverged),
+                                 diverged=bool(diverged),
                                  wall_time=wall, history=history)
         self._store_results(result)
 

@@ -13,6 +13,7 @@ format (both paths tested). Checkpoints are atomic (write + rename).
 from __future__ import annotations
 
 import json
+import logging
 import os
 from dataclasses import asdict
 from pathlib import Path
@@ -21,7 +22,14 @@ from typing import Any, Optional, Tuple
 import numpy as np
 import jax
 
-__all__ = ["save_checkpoint", "load_checkpoint", "CheckpointManager"]
+__all__ = ["save_checkpoint", "load_checkpoint", "CheckpointManager",
+           "FingerprintMismatch"]
+
+logger = logging.getLogger(__name__)
+
+
+class FingerprintMismatch(ValueError):
+    """Checkpoint params fingerprint differs from the current solver's."""
 
 
 def _flatten_state(state: Any):
@@ -35,30 +43,44 @@ def save_checkpoint(path, state: Any, iteration: int,
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
     leaves, treedef = _flatten_state(state)
-    tmp = path.with_suffix(".tmp.npz")
+    # Dot-prefixed temp name so a crash mid-write can never leave a file
+    # matching the ckpt_*.npz glob used by CheckpointManager.latest/_gc.
+    # Written via a file handle so np.savez does not append another ".npz".
+    tmp = path.parent / f".{path.name}.tmp"
     arrays = {f"leaf_{i}": np.asarray(leaf) for i, leaf in enumerate(leaves)}
-    np.savez(
-        tmp,
-        __meta__=np.frombuffer(json.dumps({
-            "iteration": int(iteration),
-            "n_leaves": len(leaves),
-            "treedef": str(treedef),
-            "fingerprint": params_fingerprint,
-        }).encode(), dtype=np.uint8),
-        **arrays,
-    )
+    with open(tmp, "wb") as fh:
+        np.savez(
+            fh,
+            __meta__=np.frombuffer(json.dumps({
+                "iteration": int(iteration),
+                "n_leaves": len(leaves),
+                "treedef": str(treedef),
+                "fingerprint": params_fingerprint,
+            }).encode(), dtype=np.uint8),
+            **arrays,
+        )
     os.replace(tmp, path)
 
 
-def load_checkpoint(path, like: Any) -> Tuple[Any, int]:
+def load_checkpoint(path, like: Any,
+                    expected_fingerprint: Optional[str] = None) -> Tuple[Any, int]:
     """Restore a state pytree saved by save_checkpoint.
 
     ``like`` supplies the pytree structure and dtypes (shapes are validated).
-    Returns (state, iteration).
+    ``expected_fingerprint`` (when given) must match the fingerprint stored at
+    save time — resuming a run whose physics params changed (Re, CFL, corner
+    treatment, tolerance) but whose grid shape did not would otherwise
+    silently produce a wrong "converged" solution. Returns (state, iteration).
     """
     path = Path(path)
     with np.load(path) as data:
         meta = json.loads(bytes(data["__meta__"]).decode())
+        if expected_fingerprint is not None:
+            stored = meta.get("fingerprint", "")
+            if stored and stored != expected_fingerprint:
+                raise FingerprintMismatch(
+                    f"Checkpoint {path} was saved with different solver "
+                    f"parameters; refusing to resume from it.")
         leaves_like, treedef = jax.tree.flatten(like)
         if meta["n_leaves"] != len(leaves_like):
             raise ValueError(
@@ -84,6 +106,15 @@ class CheckpointManager:
         ... in the solve loop: mgr.maybe_save(state, iteration)
     """
 
+    # Run-control knobs that may legitimately change across a resume
+    # (extending the iteration budget, relaxing the tolerance, retuning the
+    # chunking) — everything else in the params dataclass is physics or
+    # discretization and MUST match the checkpoint.
+    RUN_CONTROL_KEYS = frozenset({
+        "max_iterations", "tolerance", "chunk_size", "checkpoint_dir",
+        "checkpoint_every_chunks", "use_pallas", "convergence_metric",
+    })
+
     def __init__(self, directory, params=None, every_chunks: int = 10,
                  keep: int = 2):
         self.dir = Path(directory)
@@ -91,17 +122,29 @@ class CheckpointManager:
         self.keep = keep
         self._chunk_count = 0
         try:
-            self.fingerprint = json.dumps(asdict(params), sort_keys=True,
+            fields = {k: v for k, v in asdict(params).items()
+                      if k not in self.RUN_CONTROL_KEYS} if params else {}
+            self.fingerprint = json.dumps(fields, sort_keys=True,
                                           default=str) if params else ""
         except TypeError:
             self.fingerprint = str(params)
 
+    @staticmethod
+    def _ckpt_index(p: Path) -> Optional[int]:
+        try:
+            return int(p.stem.split("_")[1])
+        except (IndexError, ValueError):
+            return None  # stray/partial file: ignore rather than crash
+
+    def _checkpoints(self):
+        if not self.dir.exists():
+            return []
+        cpts = [(self._ckpt_index(p), p) for p in self.dir.glob("ckpt_*.npz")]
+        return [p for i, p in sorted((i, p) for i, p in cpts if i is not None)]
+
     @property
     def latest(self) -> Optional[Path]:
-        if not self.dir.exists():
-            return None
-        cpts = sorted(self.dir.glob("ckpt_*.npz"),
-                      key=lambda p: int(p.stem.split("_")[1]))
+        cpts = self._checkpoints()
         return cpts[-1] if cpts else None
 
     def restore_or(self, initial_state) -> Tuple[Any, int]:
@@ -109,9 +152,17 @@ class CheckpointManager:
         if path is None:
             return initial_state, 0
         try:
-            state, iteration = load_checkpoint(path, initial_state)
+            state, iteration = load_checkpoint(
+                path, initial_state,
+                expected_fingerprint=self.fingerprint or None)
+            logger.info("Resumed from checkpoint %s at iteration %d",
+                        path, iteration)
             return state, iteration
+        except FingerprintMismatch:
+            raise
         except Exception:
+            logger.warning("Failed to restore checkpoint %s; starting fresh",
+                           path, exc_info=True)
             return initial_state, 0
 
     def maybe_save(self, state, iteration: int) -> bool:
@@ -124,7 +175,5 @@ class CheckpointManager:
         return True
 
     def _gc(self) -> None:
-        cpts = sorted(self.dir.glob("ckpt_*.npz"),
-                      key=lambda p: int(p.stem.split("_")[1]))
-        for old in cpts[: -self.keep]:
+        for old in self._checkpoints()[: -self.keep]:
             old.unlink(missing_ok=True)

@@ -239,12 +239,24 @@ def compose(conf_dir, overrides: Iterable[str] = (),
     return cfg
 
 
-def _parse_value(text: str):
+def _parse_value(text: str, allow_sweep: bool = False):
+    """Parse one override value.
+
+    Comma-separated sweep lists (``key=a,b``) are only recognized with
+    ``allow_sweep=True`` (i.e. in multirun context) — Hydra rejects sweeps
+    outside multirun, and silently turning ``a,b`` into a list in a single
+    run would change the value type. Bracketed YAML lists (``[a,b]``) are
+    always plain list VALUES, never sweeps.
+    """
     text = text.strip()
     m = re.fullmatch(r"interval\(\s*([^,]+)\s*,\s*([^)]+)\s*\)", text)
     if m:
         return Interval(float(m.group(1)), float(m.group(2)))
-    if "," in text:  # sweep list — kept as list of parsed scalars
+    if "," in text and not text.startswith(("[", "{")):
+        if not allow_sweep:
+            raise ConfigError(
+                f"Sweep-style value {text!r} is only valid in multirun (-m); "
+                f"use a bracketed list [a,b] for a literal list value")
         return [_parse_value(t) for t in text.split(",")]
     try:
         val = yaml.safe_load(text)
@@ -333,8 +345,8 @@ def expand_multirun(conf_dir, overrides: Iterable[str] = (),
         if "=" in ov and not ov.startswith("~"):
             key, val = ov.split("=", 1)
             cli_keys.add(key.lstrip("+"))
-            parsed = _parse_value(val)
-            if isinstance(parsed, list):
+            parsed = _parse_value(val, allow_sweep=True)
+            if isinstance(parsed, list) and not val.strip().startswith(("[", "{")):
                 sweep_params[key.lstrip("+")] = parsed
                 continue
         cli_final.append(ov)
@@ -346,7 +358,8 @@ def expand_multirun(conf_dir, overrides: Iterable[str] = (),
         for k, v in sweeper.items():
             if k in cli_keys:
                 continue  # ANY CLI override of the key outranks the sweeper
-            vals = _parse_value(str(v)) if not isinstance(v, (list, Interval)) else v
+            vals = (_parse_value(str(v), allow_sweep=True)
+                    if not isinstance(v, (list, Interval)) else v)
             if isinstance(vals, Interval):
                 continue
             sweep_params[k] = vals if isinstance(vals, list) else [vals]

@@ -486,7 +486,7 @@ def run_optimization(overrides, interval_params):
     for key, val in sweeper.items():
         if key in space:
             continue
-        parsed = C._parse_value(str(val))
+        parsed = C._parse_value(str(val), allow_sweep=True)
         if isinstance(parsed, Interval):
             space[key] = parsed
         elif isinstance(parsed, list):

@@ -107,3 +107,96 @@ class TestHpcSubmit:
         assert text.count('"N=') == 3 or text.count("N=16") >= 1
         if backend == "lsf":
             assert "#BSUB -J" in text and "[1-3]" in text
+
+
+class TestCheckpointSafety:
+    """Round-2 hardening: fingerprint gating + crash-safe temp files."""
+
+    def test_fingerprint_mismatch_refuses_resume(self, tmp_path):
+        from anap3_tpu.models import spectral_sg as core
+        from anap3_tpu.utils.checkpoint import FingerprintMismatch
+
+        ops, _ = core.build_spectral_ops(make_params())
+        state = core.initial_state(ops)
+        mgr_a = CheckpointManager(tmp_path, params=make_params(Re=100.0),
+                                  every_chunks=1)
+        mgr_a.maybe_save(state, 100)
+
+        # same grid shape, different physics -> must refuse, not silently resume
+        mgr_b = CheckpointManager(tmp_path, params=make_params(Re=400.0),
+                                  every_chunks=1)
+        with pytest.raises(FingerprintMismatch):
+            mgr_b.restore_or(state)
+
+    def test_run_control_changes_allow_resume(self, tmp_path):
+        from anap3_tpu.models import spectral_sg as core
+
+        ops, _ = core.build_spectral_ops(make_params())
+        state = core.initial_state(ops)
+        mgr_a = CheckpointManager(
+            tmp_path, params=make_params(max_iterations=500), every_chunks=1)
+        mgr_a.maybe_save(state, 100)
+        mgr_b = CheckpointManager(
+            tmp_path, params=make_params(max_iterations=9000, tolerance=1e-6),
+            every_chunks=1)
+        _, it = mgr_b.restore_or(state)
+        assert it == 100
+
+    def test_stray_partial_files_ignored(self, tmp_path):
+        """Files not matching ckpt_<int>.npz must not crash latest/_gc."""
+        from anap3_tpu.models import spectral_sg as core
+
+        ops, _ = core.build_spectral_ops(make_params())
+        state = core.initial_state(ops)
+        mgr = CheckpointManager(tmp_path, every_chunks=1)
+        mgr.maybe_save(state, 100)
+        # simulate a crash artifact from the OLD naming scheme
+        (tmp_path / "ckpt_000000200.tmp.npz").write_bytes(b"partial")
+        restored, it = mgr.restore_or(state)
+        assert it == 100
+        mgr.maybe_save(state, 300)  # _gc must not crash either
+
+    def test_temp_file_invisible_to_glob(self, tmp_path):
+        """The atomic-write temp name must not match the ckpt_*.npz glob."""
+        import anap3_tpu.utils.checkpoint as ck
+        from anap3_tpu.models import spectral_sg as core
+
+        ops, _ = core.build_spectral_ops(make_params())
+        state = core.initial_state(ops)
+
+        real_replace = ck.os.replace
+        calls = {}
+
+        def spy_replace(src, dst):
+            calls["tmp"] = Path(src)
+            # before the rename lands, the tmp file must be glob-invisible
+            assert not list(Path(dst).parent.glob("ckpt_*.npz"))
+            return real_replace(src, dst)
+
+        ck.os.replace = spy_replace
+        try:
+            save_checkpoint(tmp_path / "ckpt_000000001.npz", state, 1, "fp")
+        finally:
+            ck.os.replace = real_replace
+        assert calls["tmp"].name.startswith(".")
+
+
+class TestRunnerResumeHistory:
+    def test_resumed_history_not_warmup_sliced(self):
+        """Post-resume rows past the warmup gate must all be recorded."""
+        import jax.numpy as jnp
+        from anap3_tpu.models.runner import run_fixed_point
+
+        def step(x):
+            m = {k: jnp.asarray(0.5) for k in
+                 ("u_eq", "v_eq", "continuity", "energy", "enstrophy",
+                  "palinstrophy")}
+            return 0.9 * x, m
+
+        x0 = jnp.ones((4, 4))
+        res = run_fixed_point(step, lambda s: (s, s), x0, tolerance=1e-30,
+                              max_iterations=140, chunk=20,
+                              start_iteration=100)
+        n_rows = len(res.history["rel_iter"])
+        assert res.iterations == 140
+        assert n_rows == 40  # all post-resume rows (100 -> 140), none dropped

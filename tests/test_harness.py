@@ -306,3 +306,19 @@ class TestSweeperCliPrecedence:
         jobs = C.expand_multirun(CONF, ["+experiment/validation/ghia=spectral",
                                         "N=16,20"])
         assert sorted(j["N"] for j in jobs) == [16, 20]
+
+
+class TestCommaValues:
+    def test_compose_rejects_unbracketed_comma(self):
+        """Hydra rejects sweep syntax outside multirun; so do we."""
+        with pytest.raises(C.ConfigError):
+            C.compose(CONF, ["Re=100,400"])
+
+    def test_compose_accepts_bracketed_list(self):
+        cfg = C.compose(CONF, ["+machine.mesh_axes=[sweep,x]"])
+        assert cfg["machine"]["mesh_axes"] == ["sweep", "x"]
+
+    def test_multirun_still_sweeps_commas(self):
+        jobs = C.expand_multirun(CONF, ["solver=spectral/sg", "N=12",
+                                        "Re=100,400"])
+        assert [j["Re"] for j in jobs] == [100, 400]

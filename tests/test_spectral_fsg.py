@@ -134,3 +134,32 @@ class TestDivergenceHandling:
         assert not solver.metrics.converged
         assert np.asarray(solver.state.u).shape == (25, 25)
         assert solver.fields.u.shape == (25 * 25,)
+
+
+class TestConvergenceMetricPlumbing:
+    def test_fsg_passes_convergence_metric_through(self, monkeypatch):
+        """FSG levels must honor params.convergence_metric (round-2 fix:
+        previously always rel_iter, the float32 false-convergence mode)."""
+        import anap3_tpu.models.spectral as spectral_mod
+
+        seen = []
+        real = spectral_mod.run_fixed_point
+
+        def spy(*args, **kwargs):
+            seen.append(kwargs.get("convergence_metric", "rel_iter"))
+            return real(*args, **kwargs)
+
+        monkeypatch.setattr(spectral_mod, "run_fixed_point", spy)
+        solver = FSGSolver(params=make_params(
+            nx=16, ny=16, tolerance=1e-3, max_iterations=3000,
+            convergence_metric="residual"))
+        solver.solve()
+        assert seen and all(m == "residual" for m in seen)
+
+    def test_fsg_residual_metric_converges(self):
+        solver = FSGSolver(params=make_params(
+            nx=16, ny=16, tolerance=1e-3, max_iterations=30000,
+            convergence_metric="residual"))
+        solver.solve()
+        assert solver.metrics.converged
+        assert np.isfinite(np.asarray(solver.state.u)).all()

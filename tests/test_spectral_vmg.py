@@ -1,6 +1,7 @@
 """Tests for the FAS V-cycle (VMG) and full-multigrid (FMG) solvers."""
 
 import numpy as np
+import jax
 import pytest
 import jax.numpy as jnp
 
@@ -104,3 +105,45 @@ class TestFMG:
         fmg.solve()
         assert fmg.metrics.converged
         assert fmg.metrics.psi_min == pytest.approx(-0.10298, abs=2e-3)
+
+
+class TestFMGDivergenceReporting:
+    def test_diverged_level_reported_and_fine_shaped(self, monkeypatch):
+        """A diverged FMG run must report diverged=True with a fine-shaped
+        NaN state and REAL quadrature history (round-2 fix: previously
+        hardcoded diverged=False with zero-energy placeholders)."""
+        import anap3_tpu.models.spectral_vmg as vmg_mod
+        from anap3_tpu.models.runner import IterationResult
+
+        def fake_run(step, get_uv, state, **kwargs):
+            bad = jax.tree.map(lambda a: jnp.full_like(a, jnp.nan), state)
+            return IterationResult(state=bad, iterations=7, converged=False,
+                                   diverged=True, wall_time=0.0,
+                                   history={})
+
+        monkeypatch.setattr(vmg_mod, "run_fixed_point", fake_run)
+        solver = FMGSolver(params=make_params(nx=24, ny=24, n_levels=2))
+        solver.solve()
+        assert solver.metrics.converged is False
+        u = np.asarray(solver.state.u)
+        assert u.shape == (25, 25)  # fine-shaped despite coarse-level abort
+        assert np.isnan(u).all()
+        # history carries the real (NaN) quadrature values, not 0.0 fillers
+        assert not np.isfinite(solver.time_series.energy[-1])
+
+    def test_vmg_passes_convergence_metric(self, monkeypatch):
+        import anap3_tpu.models.spectral_vmg as vmg_mod
+
+        seen = []
+        real = vmg_mod.run_fixed_point
+
+        def spy(*args, **kwargs):
+            seen.append(kwargs.get("convergence_metric", "rel_iter"))
+            return real(*args, **kwargs)
+
+        monkeypatch.setattr(vmg_mod, "run_fixed_point", spy)
+        solver = VMGSolver(params=make_params(
+            nx=16, ny=16, tolerance=1e-3, max_iterations=4000,
+            convergence_metric="residual"))
+        solver.solve()
+        assert seen and all(m == "residual" for m in seen)
