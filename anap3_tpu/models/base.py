@@ -15,7 +15,7 @@ from typing import Dict, Optional
 
 import numpy as np
 
-from .params import Fields, Metrics, TimeSeries
+from .params import Fields, Metrics, TimeSeries, resolve_dtype
 from .runner import IterationResult
 from ..analysis import validation as validation_mod
 from ..analysis.vortex import vortex_metrics_from_fields
@@ -37,6 +37,7 @@ class CavitySolver:
                 raise ValueError("Subclass must define a Parameters class attribute")
             kwargs.pop("_target_", None)
             params = self.Parameters(**kwargs)
+        params.dtype = resolve_dtype(params.dtype)
         self.params = params
         self.metrics = Metrics()
         self.fields: Optional[Fields] = None
@@ -101,6 +102,7 @@ class CavitySolver:
         self.metrics = Metrics(
             iterations=result.iterations,
             converged=result.converged,
+            stalled=getattr(result, "stalled", False),
             final_residual=last("rel_iter", float("inf")),
             wall_time_seconds=result.wall_time,
             u_momentum_residual=last("u_eq"),

@@ -73,6 +73,7 @@ class FVOps(NamedTuple):
     limiter: str | None
     rhie_chow: str
     poisson: object      # SeparablePoisson for p'
+    n_refine: int        # iterative-refinement steps on the pressure solve
 
 
 jax.tree_util.register_pytree_node(
@@ -80,12 +81,12 @@ jax.tree_util.register_pytree_node(
     lambda o: ((o.mu, o.rho, o.lid_velocity, o.bc_u_n, o.zeros_x, o.zeros_y,
                 o.poisson),
                (o.dx, o.dy, o.alpha_uv, o.alpha_p, o.lin_tol, o.scheme,
-                o.limiter, o.rhie_chow)),
+                o.limiter, o.rhie_chow, o.n_refine)),
     lambda aux, ch: FVOps(
         mu=ch[0], rho=ch[1], dx=aux[0], dy=aux[1], alpha_uv=aux[2],
         alpha_p=aux[3], lin_tol=aux[4], lid_velocity=ch[2], bc_u_n=ch[3],
         zeros_x=ch[4], zeros_y=ch[5], scheme=aux[5], limiter=aux[6],
-        rhie_chow=aux[7], poisson=ch[6]),
+        rhie_chow=aux[7], poisson=ch[6], n_refine=aux[8]),
 )
 
 
@@ -105,11 +106,21 @@ def build_fv_ops(params: FVParameters, dtype=None) -> tuple[FVOps, dict]:
                          lid_velocity=params.lid_velocity, Lx=params.Lx)
 
     limiter = params.limiter if params.limiter not in ("none", "None", "") else None
+    # float32 mode (the TPU-native default): the configured 1e-9 linear
+    # tolerance is below f32 resolution — BiCGSTAB would spin to maxiter
+    # every outer iteration. Clamp to ~10 ulp relative; SIMPLE's outer
+    # iteration absorbs the slack (the divergence is recomputed from actual
+    # fluxes each step, so an inexact inner solve only costs iterations,
+    # never biases the converged solution). The pressure solve compensates
+    # with one step of iterative refinement instead.
+    eps = float(jnp.finfo(dtype).eps)
+    lin_tol = max(float(params.linear_solver_tol), 10.0 * eps)
+    n_refine = 1 if dtype == jnp.float32 else 0
     ops = FVOps(
         mu=jnp.asarray(mu, dtype), rho=jnp.asarray(rho, dtype),
         dx=float(dx), dy=float(dy),
         alpha_uv=float(params.alpha_uv), alpha_p=float(params.alpha_p),
-        lin_tol=float(params.linear_solver_tol),
+        lin_tol=lin_tol,
         lid_velocity=jnp.asarray(params.lid_velocity, dtype),
         bc_u_n=jnp.asarray(bc_u_n, dtype),
         zeros_x=jnp.zeros(ny, dtype), zeros_y=jnp.zeros(nx, dtype),
@@ -117,6 +128,7 @@ def build_fv_ops(params: FVParameters, dtype=None) -> tuple[FVOps, dict]:
         limiter=limiter,
         rhie_chow=str(params.rhie_chow),
         poisson=fv_neumann_pressure_poisson(nx, ny, dx, dy, rho, dtype=dtype),
+        n_refine=n_refine,
     )
     grid = {
         "nx": nx, "ny": ny, "dx": dx, "dy": dy,
@@ -193,7 +205,7 @@ def fv_step(ops: FVOps, state: FVState):
     # pressure correction: direct tensor solve of the conductance Laplacian
     rhs_p = -st.divergence_from_fluxes(mx_star, my_star)
     rhs_p = rhs_p - jnp.mean(rhs_p)      # project out roundoff inconsistency
-    p_prime = ops.poisson.solve(rhs_p)
+    p_prime = ops.poisson.solve_refined(rhs_p, ops.n_refine)
     p_prime = p_prime - p_prime[0, 0]    # gauge = reference's cell-0 pinning
 
     # corrections (corrections.py:5-24)
@@ -286,7 +298,10 @@ class FVSolver(CavitySolver):
     def __init__(self, params=None, **kwargs):
         super().__init__(params=params, **kwargs)
         if self.params.dtype == "float64":
-            # FV linear tolerances (1e-9) need double; make sure x64 is on.
+            # f64 correctness mode (CPU hosts): the 1e-9 linear tolerances
+            # need double. On TPU, dtype resolves to float32 (params.py:
+            # resolve_dtype) and the solver runs device-native with a
+            # clamped linear tolerance + refined pressure solve instead.
             jax.config.update("jax_enable_x64", True)
         self.ops, self.grid = build_fv_ops(self.params)
         ny, nx = self.params.ny, self.params.nx
@@ -317,6 +332,10 @@ class FVSolver(CavitySolver):
             if start_iter:
                 log.info("Resumed from checkpoint at iteration %d", start_iter)
 
+        stall = int(self.params.stall_chunks)
+        if stall < 0:  # auto: f32's criterion can floor above tolerance
+            stall = 25 if self.params.dtype == "float32" else 0
+
         result = run_fixed_point(
             step, lambda s: (s.u, s.v), self.state,
             tolerance=tol, max_iterations=max_iter,
@@ -325,7 +344,15 @@ class FVSolver(CavitySolver):
             checkpoint_mgr=ckpt_mgr,
             start_iteration=start_iter,
             convergence_metric=self.params.convergence_metric,
+            stall_chunks=stall,
         )
+        if result.stalled:
+            log.warning(
+                "Convergence stalled at %s=%.3e (> tol %.1e): float32 noise "
+                "floor reached after %d iterations; stopping with the best "
+                "attainable state.", self.params.convergence_metric,
+                result.history["rel_iter"][-1] if result.history.get("rel_iter")
+                else float("nan"), tol, result.iterations)
         self.state = result.state
         self._store_results(result)
 

@@ -20,7 +20,25 @@ __all__ = [
     "Metrics",
     "TimeSeries",
     "Fields",
+    "resolve_dtype",
 ]
+
+
+def resolve_dtype(dtype: str) -> str:
+    """Resolve the ``"auto"`` working-precision policy against the backend.
+
+    TPUs have no native float64 — ``auto`` selects float32 there (the
+    solvers compensate: clamped linear tolerances + iterative refinement on
+    the FV pressure solve, residual convergence metric recommended for
+    single-grid spectral). Everywhere else ``auto`` keeps the reference's
+    float64 semantics.
+    """
+    s = str(dtype).lower()
+    if s != "auto":
+        return str(dtype)
+    import jax
+
+    return "float32" if jax.default_backend() == "tpu" else "float64"
 
 
 @dataclass
@@ -51,6 +69,11 @@ class Parameters:
     # relative to the warmup iteration; robust against the slow-dynamics
     # false convergence that rel_iter exhibits in float32).
     convergence_metric: str = "rel_iter"
+    # Plateau detection (models/runner.py): stop with stalled=True after
+    # this many chunks without >2% improvement of the criterion. -1 = auto
+    # (enabled at 25 chunks for float32 FV, where the criterion can floor
+    # above tolerance; off otherwise); 0 = off; >0 = explicit chunk count.
+    stall_chunks: int = -1
 
     def to_mlflow(self) -> dict:
         return {
@@ -109,6 +132,9 @@ class Metrics:
 
     iterations: int = 0
     converged: bool = False
+    # Convergence criterion plateaued above tolerance (float32 noise floor)
+    # and the run was cut short by stall detection (runner stall_chunks).
+    stalled: bool = False
     final_residual: float = float("inf")
     wall_time_seconds: float = 0.0
     u_momentum_residual: float = 0.0

@@ -49,6 +49,15 @@ class SeparablePoisson:
     Fields are device arrays in the working dtype; construction happens on the
     host in float64. ``zero_mode_tol`` > 0 nulls near-zero eigenvalue pairs
     (for singular Neumann operators, selecting the mean-free solution).
+
+    ``symmetric=True`` (for the symmetric FD/FV Laplacians) uses ``eigh`` so
+    the eigenbases are exactly orthogonal and the "inverse" matmuls are plain
+    transposes — markedly better conditioned in float32 than a general
+    ``inv(V)``, which matters for the TPU (f32-native) FV pressure solve.
+
+    ``Ax``/``Ay`` are kept so ``solve_refined`` can run classical iterative
+    refinement: one extra residual apply + solve recovers most of the f32
+    roundoff lost in the transform round-trip.
     """
 
     Vx: jnp.ndarray
@@ -56,26 +65,38 @@ class SeparablePoisson:
     Vy: jnp.ndarray
     Vy_inv: jnp.ndarray
     inv_lam: jnp.ndarray  # (nx, ny): 1/(λx_i + λy_j), 0 where |λ-sum| < tol
+    Ax: jnp.ndarray       # original 1D operators, for residual computation
+    Ay: jnp.ndarray
+    singular: bool = False  # zero mode nulled (Neumann): project residuals
 
     def tree_flatten(self):
-        return (self.Vx, self.Vx_inv, self.Vy, self.Vy_inv, self.inv_lam), None
+        return ((self.Vx, self.Vx_inv, self.Vy, self.Vy_inv, self.inv_lam,
+                 self.Ax, self.Ay), (self.singular,))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children)
+        return cls(*children, singular=aux[0])
 
     @classmethod
     def build(cls, Ax: np.ndarray, Ay: np.ndarray, dtype=jnp.float32,
-              zero_mode_tol: float = 0.0) -> "SeparablePoisson":
-        lx, Vx = np.linalg.eig(np.asarray(Ax, dtype=np.float64))
-        ly, Vy = np.linalg.eig(np.asarray(Ay, dtype=np.float64))
-        # The operators used here (Dirichlet spectral/FD Laplacians, Neumann
-        # cell Laplacians) have real spectra; drop the numerically-zero
-        # imaginary parts.
-        lx, Vx = np.real(lx), np.real(Vx)
-        ly, Vy = np.real(ly), np.real(Vy)
-        Vx_inv = np.linalg.inv(Vx)
-        Vy_inv = np.linalg.inv(Vy)
+              zero_mode_tol: float = 0.0,
+              symmetric: bool = False) -> "SeparablePoisson":
+        Ax64 = np.asarray(Ax, dtype=np.float64)
+        Ay64 = np.asarray(Ay, dtype=np.float64)
+        if symmetric:
+            lx, Vx = np.linalg.eigh(Ax64)
+            ly, Vy = np.linalg.eigh(Ay64)
+            Vx_inv, Vy_inv = Vx.T, Vy.T
+        else:
+            lx, Vx = np.linalg.eig(Ax64)
+            ly, Vy = np.linalg.eig(Ay64)
+            # The operators used here (Dirichlet spectral/FD Laplacians,
+            # Neumann cell Laplacians) have real spectra; drop the
+            # numerically-zero imaginary parts.
+            lx, Vx = np.real(lx), np.real(Vx)
+            ly, Vy = np.real(ly), np.real(Vy)
+            Vx_inv = np.linalg.inv(Vx)
+            Vy_inv = np.linalg.inv(Vy)
         lam = lx[:, None] + ly[None, :]
         if zero_mode_tol > 0.0:
             scale = max(np.abs(lam).max(), 1.0)
@@ -84,13 +105,35 @@ class SeparablePoisson:
         else:
             inv = 1.0 / lam
         cast = lambda a: jnp.asarray(a, dtype=dtype)
-        return cls(cast(Vx), cast(Vx_inv), cast(Vy), cast(Vy_inv), cast(inv))
+        return cls(cast(Vx), cast(Vx_inv), cast(Vy), cast(Vy_inv), cast(inv),
+                   cast(Ax64), cast(Ay64), singular=zero_mode_tol > 0.0)
 
     @partial(jax.jit, static_argnums=())
     def solve(self, f: jnp.ndarray) -> jnp.ndarray:
         """Solve L u = f for a 2D right-hand side of shape (nx, ny)."""
         fhat = _mm(_mm(self.Vx_inv, f), self.Vy_inv.T)
         return _mm(_mm(self.Vx, fhat * self.inv_lam), self.Vy.T)
+
+    def apply(self, u: jnp.ndarray) -> jnp.ndarray:
+        """L u = Ax u + u Ay^T."""
+        return _mm(self.Ax, u) + _mm(u, self.Ay.T)
+
+    def solve_refined(self, f: jnp.ndarray, n_refine: int = 1) -> jnp.ndarray:
+        """Direct solve + ``n_refine`` steps of iterative refinement.
+
+        In float32 the eigen-transform round-trip loses ~2-3 digits on large
+        grids; each refinement step costs one operator apply (two matmuls)
+        plus one solve (four matmuls) and recovers the residual projection.
+        For singular (Neumann) operators the residual is projected mean-free
+        so refinement stays in the solvable subspace.
+        """
+        u = self.solve(f)
+        for _ in range(int(n_refine)):
+            r = f - self.apply(u)
+            if self.singular:
+                r = r - jnp.mean(r)
+            u = u + self.solve(r)
+        return u
 
 
 def spectral_dirichlet_poisson(Dxx_1d: np.ndarray, Dyy_1d: np.ndarray,
@@ -116,7 +159,8 @@ def fd_dirichlet_poisson(nx_interior: int, ny_interior: int, dx: float, dy: floa
                          dtype=jnp.float32) -> SeparablePoisson:
     """5-point FD interior Laplacian with psi = 0 boundaries (streamfunction)."""
     return SeparablePoisson.build(
-        _fd_dirichlet_1d(nx_interior, dx), _fd_dirichlet_1d(ny_interior, dy), dtype=dtype
+        _fd_dirichlet_1d(nx_interior, dx), _fd_dirichlet_1d(ny_interior, dy),
+        dtype=dtype, symmetric=True,
     )
 
 
@@ -155,4 +199,5 @@ def fv_neumann_pressure_poisson(nx: int, ny: int, dx: float, dy: float,
     """
     Ax = -_fv_neumann_1d(nx, rho * dy / dx)   # acts along x (within a row)
     Ay = -_fv_neumann_1d(ny, rho * dx / dy)   # acts along y
-    return SeparablePoisson.build(Ay, Ax, dtype=dtype, zero_mode_tol=1e-12)
+    return SeparablePoisson.build(Ay, Ax, dtype=dtype, zero_mode_tol=1e-12,
+                                  symmetric=True)

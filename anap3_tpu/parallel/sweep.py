@@ -34,10 +34,14 @@ class SweepResult:
 
     states: Any                   # batched final state pytree
     iterations: np.ndarray        # (B,)
-    converged: np.ndarray         # (B,) bool
+    converged: np.ndarray        # (B,) bool
     diverged: np.ndarray          # (B,) bool
     wall_time: float
     history: Dict[str, np.ndarray]  # key -> (B, n_recorded)
+    # Global iteration index of each recorded history column. Long sweeps are
+    # stride-decimated on the fly (run_batched_sweep max_history_points), so
+    # columns are NOT necessarily consecutive iterations.
+    history_iters: np.ndarray = None  # (n_recorded,)
 
 
 def stack_ops(ops_list: Sequence[Any]) -> Any:
@@ -103,13 +107,21 @@ def run_batched_sweep(step_fn, get_uv, ops, states, tolerance: float,
                       max_iterations: int, chunk: int = 200,
                       warmup: int = WARMUP_ITERS,
                       mesh: "jax.sharding.Mesh | None" = None,
-                      axis_name: str = "sweep") -> SweepResult:
+                      axis_name: str = "sweep",
+                      max_history_points: int = 4000) -> SweepResult:
     """Drive a batch of solves to convergence.
 
     With ``mesh`` given, the batch axis is sharded over ``mesh[axis_name]``
     (lanes must divide the axis size); XLA then runs the identical program on
     every chip with zero collectives — the TPU equivalent of the reference's
     embarrassingly-parallel job arrays.
+
+    Host-side history is bounded at O(lanes * max_history_points): when the
+    recorded rows exceed 2x the cap, the buffer is stride-decimated (keep
+    every other row, double the sampling stride). The reference's contract is
+    a <=1000-point downsample at result-storage time (base.py:121,137-142);
+    keeping 4x that preserves the final linspace downsample's fidelity while
+    a 128-lane x 10^6-step sweep no longer accumulates ~GB of host rows.
     """
     chunk = int(min(chunk, max(1, max_iterations)))
     runner = make_batched_chunk_runner(step_fn, get_uv, chunk, tolerance, warmup)
@@ -126,7 +138,10 @@ def run_batched_sweep(step_fn, get_uv, ops, states, tolerance: float,
         ops = shard_leading(ops)
         states = shard_leading(states)
 
-    history: List[np.ndarray] = []
+    rows_buf: List[np.ndarray] = []  # variable-length (n_i, B, K) pieces
+    idx_buf: List[np.ndarray] = []   # matching global iteration indices
+    n_kept = 0
+    stride = 1
     conv_accum = None
     t0 = time.time()
     it = 0
@@ -137,7 +152,18 @@ def run_batched_sweep(step_fn, get_uv, ops, states, tolerance: float,
         conv_accum = np.asarray(ever_conv) if conv_accum is None \
             else (conv_accum | np.asarray(ever_conv))
         n_ran = min(chunk, max_iterations - it)
-        history.append(np.asarray(rows)[:n_ran])  # (chunk, B, K)
+        gis = np.arange(it, it + n_ran)
+        keep = (gis >= warmup) & ((gis - warmup) % stride == 0)
+        if keep.any():
+            rows_buf.append(np.asarray(rows)[:n_ran][keep])  # (n, B, K)
+            idx_buf.append(gis[keep])
+            n_kept += int(keep.sum())
+        if n_kept > 2 * max_history_points:
+            all_rows = np.concatenate(rows_buf, axis=0)[::2]
+            all_idx = np.concatenate(idx_buf)[::2]
+            rows_buf, idx_buf = [all_rows], [all_idx]
+            n_kept = all_rows.shape[0]
+            stride *= 2
         it += n_ran
         if done_h.all():
             break
@@ -149,10 +175,16 @@ def run_batched_sweep(step_fn, get_uv, ops, states, tolerance: float,
         iterations.shape, bool)
     diverged = np.asarray(done) & ~converged
 
-    rows_all = np.concatenate(history, axis=0)  # (T, B, K)
+    if rows_buf:
+        rows_all = np.concatenate(rows_buf, axis=0)  # (T', B, K)
+        idx_all = np.concatenate(idx_buf)
+    else:
+        B = iterations.shape[0]
+        rows_all = np.zeros((0, B, len(METRIC_KEYS)))
+        idx_all = np.zeros((0,), np.int64)
     hist = {}
     for ki, key in enumerate(METRIC_KEYS):
-        hist[key] = rows_all[warmup:, :, ki].T  # (B, T-warmup)
+        hist[key] = rows_all[:, :, ki].T  # (B, T')
     return SweepResult(states=states, iterations=iterations,
                        converged=converged, diverged=diverged,
-                       wall_time=wall, history=hist)
+                       wall_time=wall, history=hist, history_iters=idx_all)

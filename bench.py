@@ -181,9 +181,73 @@ def bench_numpy_reference(max_steps: int = 30) -> float:
     return steps / (time.time() - t0)
 
 
+def bench_fv() -> dict:
+    """FV-SIMPLE iterations/sec at N=128 in the device-native dtype.
+
+    The comparable number is the float64 CPU rate of THIS solver (the
+    reference's scipy/PyAMG loop is strictly slower than our vectorized
+    CPU path): N=128 Re=100 converges in 11,488 iters / 48.4 s on this
+    image's CPU = 237 it/s (recorded 2026-08-16, see STATUS.md).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from anap3_tpu.models.params import FVParameters
+    from anap3_tpu.models.fv import build_fv_ops, fv_step, FVState
+
+    params = FVParameters(
+        name="fv", Re=100.0, nx=N, ny=N, convection_scheme="TVD",
+        limiter="MUSCL", alpha_uv=0.4, alpha_p=0.2, linear_solver_tol=1e-9,
+        corner_treatment="none", dtype="auto")
+    from anap3_tpu.models.params import resolve_dtype
+
+    params.dtype = resolve_dtype(params.dtype)
+    ops, _ = build_fv_ops(params)
+    dt = jnp.dtype(params.dtype)
+    st0 = FVState(u=jnp.zeros((N, N), dt), v=jnp.zeros((N, N), dt),
+                  p=jnp.zeros((N, N), dt), mx=jnp.zeros((N, N - 1), dt),
+                  my=jnp.zeros((N - 1, N), dt))
+
+    CHUNK = 50
+
+    @jax.jit
+    def run_chunk(state):
+        def body(s, _):
+            s, _m = fv_step(ops, s)
+            return s, ()
+        s, _ = jax.lax.scan(body, state, None, length=CHUNK)
+        return s
+
+    t0 = time.time()
+    state = run_chunk(st0)
+    jax.block_until_ready(state.u)
+    compile_s = time.time() - t0
+
+    n_calls = 0
+    t0 = time.time()
+    while time.time() - t0 < TARGET_SECONDS:
+        state = run_chunk(state)
+        n_calls += 1
+        if n_calls % 8 == 0:
+            jax.block_until_ready(state.u)
+    jax.block_until_ready(state.u)
+    rate = n_calls * CHUNK / (time.time() - t0)
+    return {
+        "fv_N128_simple_iters_per_sec": round(rate, 1),
+        "fv_dtype": params.dtype,
+        "fv_compile_seconds": round(compile_s, 2),
+        "fv_vs_cpu_f64": round(rate / 237.0, 2),
+        "fv_final_u_finite": bool(np.isfinite(np.asarray(state.u)).all()),
+    }
+
+
 def main():
     rate, extras = bench_device()
     ref_rate = bench_numpy_reference()
+    try:
+        fv_extras = bench_fv()
+    except Exception as exc:  # FV bench must not kill the primary metric
+        fv_extras = {"fv_error": repr(exc)[:200]}
     result = {
         "metric": f"spectral_N{N}_rk4_timesteps_per_sec",
         "value": round(rate, 1),
@@ -191,6 +255,7 @@ def main():
         "vs_baseline": round(rate / ref_rate, 2),
         "baseline_numpy_steps_per_sec": round(ref_rate, 1),
         **extras,
+        **fv_extras,
     }
     print(json.dumps(result))
 

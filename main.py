@@ -354,8 +354,10 @@ def run_multirun_batched(jobs):
             max_iterations=int(jobs[0]["max_iterations"]), mesh=mesh)
         lane_results = []
         for k in range(len(jobs)):
-            n_rec = max(0, int(res.iterations[k]) - WARMUP_ITERS)
-            history = {key: res.history[key][k][:n_rec].tolist()
+            # recorded columns carry their global iteration index (long
+            # sweeps are stride-decimated); keep those before this lane's end
+            rec = res.history_iters < int(res.iterations[k])
+            history = {key: res.history[key][k][rec].tolist()
                        for key in res.history}
             lane_results.append(IterationResult(
                 state=jax.tree.map(lambda x: x[k], res.states),

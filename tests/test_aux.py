@@ -200,3 +200,55 @@ class TestRunnerResumeHistory:
         n_rows = len(res.history["rel_iter"])
         assert res.iterations == 140
         assert n_rows == 40  # all post-resume rows (100 -> 140), none dropped
+
+
+class TestStallDetection:
+    def test_plateau_stops_early(self):
+        import jax.numpy as jnp
+        from anap3_tpu.models.runner import run_fixed_point
+
+        def step(x):
+            # constant-magnitude random-walk-like update: rel change never
+            # decreases below ~1e-3, so tol=1e-6 is unreachable
+            m = {k: jnp.asarray(1.0) for k in
+                 ("u_eq", "v_eq", "continuity", "energy", "enstrophy",
+                  "palinstrophy")}
+            return x + 1e-3 * jnp.sign(jnp.cos(jnp.sum(x))), m
+
+        x0 = jnp.ones((4, 4))
+        res = run_fixed_point(step, lambda s: (s, s), x0, tolerance=1e-6,
+                              max_iterations=10**6, chunk=50, stall_chunks=5)
+        assert res.stalled
+        assert not res.converged
+        assert res.iterations < 10000
+
+    def test_disabled_by_default(self):
+        import jax.numpy as jnp
+        from anap3_tpu.models.runner import run_fixed_point
+
+        def step(x):
+            m = {k: jnp.asarray(1.0) for k in
+                 ("u_eq", "v_eq", "continuity", "energy", "enstrophy",
+                  "palinstrophy")}
+            return x + 1e-3, m
+
+        res = run_fixed_point(step, lambda s: (s, s), jnp.ones((2, 2)),
+                              tolerance=1e-9, max_iterations=2000, chunk=100)
+        assert not res.stalled
+        assert res.iterations == 2000
+
+    def test_converging_run_not_stalled(self):
+        import jax.numpy as jnp
+        from anap3_tpu.models.runner import run_fixed_point
+
+        def step(x):
+            m = {k: jnp.asarray(0.1) for k in
+                 ("u_eq", "v_eq", "continuity", "energy", "enstrophy",
+                  "palinstrophy")}
+            # contraction toward 1: rel change decays geometrically
+            return 1.0 + 0.9 * (x - 1.0), m
+
+        res = run_fixed_point(step, lambda s: (s, s), 2.0 * jnp.ones((4, 4)),
+                              tolerance=1e-6, max_iterations=10**6,
+                              chunk=50, stall_chunks=5)
+        assert res.converged and not res.stalled

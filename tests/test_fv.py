@@ -189,3 +189,36 @@ class TestVariants:
             out = one(ops, state)
             np.testing.assert_allclose(np.asarray(out_b.u[k]), np.asarray(out.u),
                                        rtol=1e-9, atol=1e-12)
+
+
+class TestFloat32Mode:
+    """TPU-native f32 FV: clamped linear tolerance + refined pressure solve."""
+
+    def test_f32_matches_f64_solution(self):
+        s64 = FVSolver(params=make_params(nx=24, ny=24, max_iterations=8000))
+        s64.solve()
+        s32 = FVSolver(params=make_params(nx=24, ny=24, max_iterations=8000,
+                                          dtype="float32"))
+        s32.solve()
+        assert s64.metrics.converged and s32.metrics.converged
+        u64, u32 = np.asarray(s64.state.u), np.asarray(s32.state.u)
+        v64, v32 = np.asarray(s64.state.v), np.asarray(s32.state.v)
+        assert np.linalg.norm(u32 - u64) / np.linalg.norm(u64) < 2e-4
+        assert np.linalg.norm(v32 - v64) / np.linalg.norm(v64) < 2e-4
+
+    def test_f32_lin_tol_clamped(self):
+        ops, _ = build_fv_ops(make_params(dtype="float32"))
+        assert ops.lin_tol >= 1e-6  # 10 ulp of f32
+        assert ops.n_refine == 1
+        ops64, _ = build_fv_ops(make_params(dtype="float64"))
+        assert ops64.lin_tol == 1e-9
+        assert ops64.n_refine == 0
+
+    def test_auto_dtype_resolves_by_backend(self):
+        from anap3_tpu.models.params import resolve_dtype
+
+        expected = "float32" if jax.default_backend() == "tpu" else "float64"
+        assert resolve_dtype("auto") == expected
+        assert resolve_dtype("float32") == "float32"
+        s = FVSolver(params=make_params(dtype="auto", max_iterations=1))
+        assert s.params.dtype == expected

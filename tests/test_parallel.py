@@ -209,3 +209,41 @@ class TestBatchedFSG:
                     if r["tags"].get("sweep") == "child"]
         assert len(children) == 2
         assert all(r["metrics"].get("converged") == 1.0 for r in children)
+
+
+class TestHistoryCap:
+    def test_streaming_decimation_bounds_memory(self):
+        """History stays O(max_history_points) with strided global indices."""
+        from anap3_tpu.parallel import sweep as sweep_mod
+        from anap3_tpu.models import spectral_sg as core
+
+        p = make_params(100.0, nx=8, ny=8)
+        ops, _ = core.build_spectral_ops(p)
+        batched_ops = sweep_mod.stack_ops([ops, ops])
+        state = core.initial_state(ops)
+        batched_states = jax.tree.map(lambda *a: jnp.stack(a), state, state)
+
+        cap = 100
+        n_iter = 1500
+        res = sweep_mod.run_batched_sweep(
+            core.sg_step, lambda s: (s.u, s.v), batched_ops, batched_states,
+            tolerance=1e-30, max_iterations=n_iter, chunk=100,
+            max_history_points=cap)
+        n_rec = res.history["energy"].shape[1]
+        assert n_rec <= 2 * cap
+        assert res.history_iters.shape == (n_rec,)
+        # indices are evenly strided from the warmup gate
+        strides = np.diff(res.history_iters)
+        assert (strides == strides[0]).all()
+        assert res.history_iters[0] >= 10
+        assert res.history_iters[-1] < n_iter
+        # decimated history still matches an undecimated run at those indices
+        res_full = sweep_mod.run_batched_sweep(
+            core.sg_step, lambda s: (s.u, s.v), batched_ops, batched_states,
+            tolerance=1e-30, max_iterations=n_iter, chunk=100,
+            max_history_points=10**9)
+        full_idx = {int(g): i for i, g in enumerate(res_full.history_iters)}
+        sel = [full_idx[int(g)] for g in res.history_iters]
+        np.testing.assert_allclose(res.history["energy"][:, :],
+                                   res_full.history["energy"][:, sel],
+                                   rtol=1e-12)

@@ -128,3 +128,38 @@ class TestPoisson:
         for k in range(4):
             ref = np.linalg.solve(L, np.asarray(batch[k]).ravel()).reshape(n, n)
             np.testing.assert_allclose(np.asarray(sols[k]), ref, atol=1e-9)
+
+
+class TestIterativeRefinement:
+    def test_f32_refinement_reduces_residual(self):
+        """One refinement step recovers most f32 transform roundoff."""
+        rng = np.random.default_rng(3)
+        nx = ny = 96
+        P = fv_neumann_pressure_poisson(nx, ny, 1.0 / nx, 1.0 / ny,
+                                        dtype=jnp.float32)
+        f = rng.standard_normal((ny, nx)).astype(np.float32)
+        f -= f.mean()
+        f = jnp.asarray(f)
+
+        def resid(u):
+            r = f - P.apply(u)
+            r = r - jnp.mean(r)
+            return float(jnp.linalg.norm(r)) / float(jnp.linalg.norm(f))
+
+        r0 = resid(P.solve(f))
+        r1 = resid(P.solve_refined(f, 1))
+        assert r1 < r0
+        assert r1 < 5e-6
+
+    def test_symmetric_build_uses_orthogonal_basis(self):
+        P = fd_dirichlet_poisson(32, 32, 0.1, 0.1, dtype=jnp.float64)
+        V = np.asarray(P.Vx)
+        np.testing.assert_allclose(V.T @ V, np.eye(32), atol=1e-12)
+        np.testing.assert_allclose(np.asarray(P.Vx_inv), V.T)
+
+    def test_refine_noop_for_exact_f64(self):
+        P = fd_dirichlet_poisson(16, 16, 0.1, 0.1, dtype=jnp.float64)
+        f = jnp.asarray(np.random.default_rng(0).standard_normal((16, 16)))
+        u0 = P.solve(f)
+        u1 = P.solve_refined(f, 0)
+        np.testing.assert_array_equal(np.asarray(u0), np.asarray(u1))
