@@ -39,6 +39,9 @@ class CavitySolver:
             params = self.Parameters(**kwargs)
         params.dtype = resolve_dtype(params.dtype)
         self.params = params
+        from ..utils.compile_cache import enable_compile_cache
+
+        enable_compile_cache()
         self.metrics = Metrics()
         self.fields: Optional[Fields] = None
         self.time_series: Optional[TimeSeries] = None

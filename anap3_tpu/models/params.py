@@ -117,6 +117,11 @@ class SpectralParameters(Parameters):
     corner_smoothing: float = 0.15
     multigrid: str = "none"  # "none" | "fsg"
     n_levels: int = 3
+    # MXU matmul algorithm for the fused TPU kernels: "x3" (three-pass bf16
+    # decomposition, ~1.4e-5 relative, 1.2-1.9x faster) | "x6"
+    # (= Precision.HIGHEST, full f32 accuracy) | "auto" (x3 — validated to
+    # reproduce Ghia-level accuracy; see STATUS.md round-2 measurements).
+    matmul_algorithm: str = "auto"
     # Fused Pallas RK4 kernel (ops/pallas_step.py): "auto" uses it on TPU
     # with float32 (1-ulp parity with the XLA path, far faster compiles);
     # true/false force it on/off.

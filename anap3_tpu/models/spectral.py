@@ -36,6 +36,44 @@ log = logging.getLogger(__name__)
 __all__ = ["SGSolver", "FSGSolver"]
 
 
+def make_fused_paths(ops, params, tol):
+    """Select the fused TPU kernel tier for this grid size.
+
+    Returns ``(step, chunk_runner_factory)`` or ``(None, None)`` when no
+    fused kernel covers the size (fall back to the XLA step).
+
+    Tiers: the row-phase-structured tiled kernels (ops/pallas_tiled.py)
+    with the x3 bf16 decomposition are the production path — measured
+    faster than the original whole-step x6 kernels at EVERY size (N=96:
+    112k vs 93k steps/s; N=128: 44.6k vs 35.5k; N=192: 34.9k vs 21.5k;
+    N=256: 12.7k vs the 6.8k XLA fallback) while converging to the same
+    Ghia-level accuracy. ``matmul_algorithm: x6`` selects full-f32-accuracy
+    kernels (the untiled whole-step kernel for N<=192, the tiled x6 variant
+    above that).
+    """
+    from ..ops.pallas_step import MAX_FUSED_N, make_pallas_sg_step
+    from ..ops.pallas_chunk import make_pallas_chunk_runner
+    from ..ops.pallas_tiled import (MAX_TILED_N, make_tiled_chunk_runner,
+                                    make_tiled_sg_step)
+    from .runner import WARMUP_ITERS
+
+    n = int(ops.bc_u.shape[0]) - 1  # this level's order (FSG levels differ)
+    alg = str(getattr(params, "matmul_algorithm", "auto") or "auto").lower()
+    if alg == "auto":
+        alg = "x3"
+    if alg == "x6" and n <= MAX_FUSED_N:
+        step = make_pallas_sg_step(ops)
+        factory = lambda chunk: make_pallas_chunk_runner(
+            ops, chunk, tol, WARMUP_ITERS)
+    elif n <= MAX_TILED_N:
+        step = make_tiled_sg_step(ops, algorithm=alg)
+        factory = lambda chunk: make_tiled_chunk_runner(
+            ops, chunk, tol, WARMUP_ITERS, algorithm=alg)
+    else:
+        return None, None
+    return step, factory
+
+
 class SGSolver(CavitySolver):
     """Single-grid PN-PN-2 artificial-compressibility solver (reference sg.py)."""
 
@@ -46,29 +84,28 @@ class SGSolver(CavitySolver):
         self.ops, self.grid = core.build_spectral_ops(self.params)
         self.state = core.initial_state(self.ops)
         self._psi_poisson = None
+        # Tensor-parallel mesh for ONE large solve (machine.mesh_axes: [x]);
+        # set by the driver (main.run_solver) before solve().
+        self.spatial_mesh = None
 
     # -- solve ---------------------------------------------------------
 
     def solve(self, tolerance: float = None, max_iter: int = None) -> None:
         tol = self.params.tolerance if tolerance is None else tolerance
         max_iter = self.params.max_iterations if max_iter is None else max_iter
+        if self.spatial_mesh is not None:
+            return self._solve_sharded(tol, max_iter)
         ops = self.ops
 
         chunk_runner = None
+        step = None
         if self._pallas_enabled():
-            from ..ops.pallas_step import make_pallas_sg_step
-
-            step = make_pallas_sg_step(ops)
-            if self.params.convergence_metric == "rel_iter":
+            step, factory = make_fused_paths(ops, self.params, tol)
+            if step is not None and self.params.convergence_metric == "rel_iter":
                 # whole chunks fused into single kernels (in-kernel stepping
                 # + convergence state machine)
-                from ..ops.pallas_chunk import make_pallas_chunk_runner
-                from .runner import WARMUP_ITERS
-
-                def chunk_runner(chunk):
-                    return make_pallas_chunk_runner(ops, chunk, tol,
-                                                    WARMUP_ITERS)
-        else:
+                chunk_runner = factory
+        if step is None:
             def step(state):
                 return core.sg_step(ops, state)
 
@@ -99,6 +136,58 @@ class SGSolver(CavitySolver):
         self.state = result.state
         self._store_results(result)
 
+    def _solve_sharded(self, tol: float, max_iter: int) -> None:
+        """Tensor-parallel solve: rows sharded over self.spatial_mesh["x"].
+
+        The chunked convergence loop runs through
+        parallel.spatial.make_sharded_chunk_runner (global psum reductions,
+        reference-exact criterion semantics); only the host sync between
+        chunks leaves the device mesh. Post-processing gathers the state
+        (np.asarray on globally-addressable sharded arrays).
+        """
+        import jax
+        from jax.sharding import NamedSharding
+        from ..parallel import spatial
+        from .runner import WARMUP_ITERS
+
+        mesh = self.spatial_mesh
+        n_x = mesh.devices.size
+        nf = int(self.params.nx) + 1
+        if nf % n_x != 0:
+            raise ValueError(
+                f"grid rows ({nf}) must divide the x mesh axis ({n_x})")
+        log.info("Sharded solve: N=%d over %d devices (x axis)",
+                 self.params.nx, n_x)
+        dtype = jnp.dtype(self.params.dtype)
+        ops_sh, _ = spatial.build_sharded_ops(self.params, dtype=dtype)
+        spec_tree = spatial.make_step_ops_spec()
+        ops_sh = jax.tree.map(
+            lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+            ops_sh, spec_tree)
+        u = self.state.u.astype(dtype)
+        v = self.state.v.astype(dtype)
+        p_pad = spatial.pad_pressure(self.state.p.astype(dtype))
+        u, v, p_pad = spatial.shard_state(mesh, (u, v, p_pad))
+
+        def runner_factory(chunk):
+            return spatial.make_sharded_chunk_runner(
+                mesh, ops_sh, chunk, tol, WARMUP_ITERS,
+                convergence_metric=self.params.convergence_metric)
+
+        result = run_fixed_point(
+            None, lambda s: (s[0], s[1]), (u, v, p_pad),
+            tolerance=tol, max_iterations=max_iter,
+            chunk=self.params.chunk_size,
+            log_callback=self._log_callback,
+            convergence_metric=self.params.convergence_metric,
+            chunk_runner=runner_factory,
+        )
+        u, v, p_pad = result.state
+        self.state = core.SpectralState(
+            u=jnp.asarray(np.asarray(u)), v=jnp.asarray(np.asarray(v)),
+            p=jnp.asarray(np.asarray(spatial.unpad_pressure(p_pad))))
+        self._store_results(result)
+
     def _pallas_enabled(self) -> bool:
         flag = getattr(self.params, "use_pallas", "auto")
         if isinstance(flag, bool):
@@ -109,11 +198,11 @@ class SGSolver(CavitySolver):
             return False
         # auto: fused kernel on TPU float32 solves that fit its VMEM budget
         import jax
-        from ..ops.pallas_step import MAX_FUSED_N
+        from ..ops.pallas_tiled import MAX_TILED_N
 
         return (jax.default_backend() == "tpu"
                 and jnp.dtype(self.params.dtype) == jnp.float32
-                and int(self.params.nx) <= MAX_FUSED_N)
+                and int(self.params.nx) <= MAX_TILED_N)
 
     # -- field plumbing --------------------------------------------------
 
@@ -224,21 +313,14 @@ class FSGSolver(SGSolver):
             else:
                 state = self._prolongate(state, prev_n, n, ops, dtype)
 
-            from ..ops.pallas_step import MAX_FUSED_N
-
             chunk_runner = None
-            if self._pallas_enabled() and n <= MAX_FUSED_N:
-                from ..ops.pallas_step import make_pallas_sg_step
-
-                step = make_pallas_sg_step(ops)
-                if self.params.convergence_metric == "rel_iter":
-                    from ..ops.pallas_chunk import make_pallas_chunk_runner
-                    from .runner import WARMUP_ITERS
-
-                    def chunk_runner(chunk, _ops=ops, _tol=level_tol):
-                        return make_pallas_chunk_runner(_ops, chunk, _tol,
-                                                        WARMUP_ITERS)
-            else:
+            step = None
+            if self._pallas_enabled():
+                step, factory = make_fused_paths(ops, self.params, level_tol)
+                if (step is not None
+                        and self.params.convergence_metric == "rel_iter"):
+                    chunk_runner = factory
+            if step is None:
                 def step(s, _ops=ops):
                     return core.sg_step(_ops, s)
 

@@ -1,0 +1,472 @@
+"""Large-N fused Pallas kernels for the spectral solver (N > 192 tier).
+
+The whole-step kernels in ops/pallas_step.py / ops/pallas_chunk.py keep every
+temporary of the 4-stage RK update live at once; past N=192 the compiler's
+working set exceeds VMEM (measured 19.7 MB at N=256). This module restructures
+the same arithmetic (models/spectral_sg.sg_step; reference
+src/solvers/spectral/sg.py:278-449) so the peak footprint is a fixed set of
+full-grid buffers:
+
+1. "left phase": the six products whose RIGHT operand is the full state —
+   A1 = Dx u, A2 = Dxx u, A3 = Dx v, A4 = Dxx v, A5 = Gx p, A6 = Ix p —
+   into dedicated scratch buffers. These snapshot every cross-row dependency
+   of a stage.
+2. "row phase": everything left is row-local (right matmuls U @ DyT etc.,
+   elementwise algebra, boundary masking), so the state is updated IN PLACE
+   over row blocks — no second state copy, no full-size R_u/R_v/R_p buffers.
+   Blocks are unrolled with STATIC slices (dynamic-slice writes defeat
+   Mosaic's alignment analysis); the default is one full-height block.
+
+All arrays are zero-padded to nfp x nfp: padded rows/columns of the
+operators, masks and boundary values are zero, so padded cells stay exactly
+zero through every stage. The inner-grid pressure operators are embedded
+into full-grid form (Gx -> columns 1..nf-1 etc.), which removes inner-grid
+shapes from the kernel; the pressure rides in its zero boundary ring exactly
+like the untiled kernels.
+
+Matmul algorithm: at these sizes the step is matmul-bound, and
+Precision.HIGHEST (six bf16 passes) leaves half the MXU work redundant for
+the accuracy actually needed. The default "x3" algorithm runs the classical
+three-pass bf16 decomposition a@b ~ a_hi@b_hi + a_hi@b_lo + a_lo@b_hi with
+the operator splits precomputed on the host and the state splits computed
+once per stage (~1.4e-5 relative error vs 1.6e-7 for x6; measured 1.8-2x
+faster at N=256). "x6" (= HIGHEST) is available for validation and for
+bit-parity with the N<=192 kernels.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..models.spectral_sg import SpectralOps, SpectralState
+
+__all__ = ["make_tiled_sg_step", "make_tiled_chunk_runner", "MAX_TILED_N"]
+
+_RK4_ALPHAS = (0.25, 1.0 / 3.0, 0.5, 1.0)
+N_METRICS = 6
+N_COLS = 7  # rel_iter + 6 metrics, runner METRIC_KEYS order
+
+# Largest order whose working set fits VMEM with the x3 layout.
+MAX_TILED_N = 320
+
+# The eight matmul operators, in kernel argument order.
+_MAT_NAMES = ("Dx", "DyT", "Dxx", "DyyT", "Gx", "Ix", "IyT", "GyT")
+# Masks / boundary data (always f32).
+_AUX_NAMES = ("bc_u", "bc_v", "interior", "W2d")
+
+
+def _bf16_dot(a, b):
+    return jax.lax.dot_general(
+        a, b, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _f32_dot(a, b):
+    return jax.lax.dot_general(
+        a, b, dimension_numbers=(((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _split_hi_lo(a):
+    hi = a.astype(jnp.bfloat16)
+    lo = (a - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+class _DotEngine:
+    """Stage-scoped matmul engine.
+
+    ``x3``: operators arrive as precomputed (hi, lo) bf16 pairs; state
+    operands are split once via ``cache`` and reused across the stage's dots.
+    ``x6``: plain f32 HIGHEST dots.
+    """
+
+    def __init__(self, algorithm: str, op_refs):
+        if algorithm not in ("x3", "x6"):
+            raise ValueError(f"unknown matmul algorithm {algorithm!r}")
+        self.x3 = algorithm == "x3"
+        self.ops = op_refs
+
+    def cache(self, value):
+        """Split a state operand once for reuse in several dots."""
+        return _split_hi_lo(value) if self.x3 else value
+
+    def left(self, op_name, cached):
+        """operator @ state for a cached state operand."""
+        if not self.x3:
+            return _f32_dot(self.ops[op_name][:], cached)
+        o_hi, o_lo = self.ops[op_name + "_hi"], self.ops[op_name + "_lo"]
+        b_hi, b_lo = cached
+        return (_bf16_dot(o_hi[:], b_hi) + _bf16_dot(o_hi[:], b_lo)
+                + _bf16_dot(o_lo[:], b_hi))
+
+    def right(self, cached, op_name, rows=slice(None)):
+        """state @ operator for a cached state operand (row block)."""
+        if not self.x3:
+            return _f32_dot(cached[rows], self.ops[op_name][:])
+        o_hi, o_lo = self.ops[op_name + "_hi"], self.ops[op_name + "_lo"]
+        a_hi, a_lo = cached
+        return (_bf16_dot(a_hi[rows], o_hi[:]) + _bf16_dot(a_lo[rows], o_hi[:])
+                + _bf16_dot(a_hi[rows], o_lo[:]))
+
+
+def _pad_ops(ops: SpectralOps, blk: int | None, algorithm: str):
+    """Zero-pad everything to (nfp, nfp); embed the inner-grid operators."""
+    nf = ops.bc_u.shape[0]
+    ni = nf - 2
+    if blk is None:
+        blk = 32
+    nfp = -(-nf // blk) * blk
+
+    def pad(a, r0=0, c0=0):
+        out = np.zeros((nfp, nfp), np.float64)
+        arr = np.asarray(a, np.float64)
+        out[r0:r0 + arr.shape[0], c0:c0 + arr.shape[1]] = arr
+        return out
+
+    # inner-grid pressure operators at the ring offset: Gx/Ix (nf, ni) act on
+    # p_full[:, 1:nf-1] -> column offset 1; IyT/GyT (ni, nf) -> row offset 1
+    raw = {
+        "Dx": pad(ops.Dx), "DyT": pad(ops.DyT),
+        "Dxx": pad(ops.Dxx), "DyyT": pad(ops.DyyT),
+        "Gx": pad(ops.Gx, 0, 1), "Ix": pad(ops.Ix, 0, 1),
+        "IyT": pad(ops.IyT, 1, 0), "GyT": pad(ops.GyT, 1, 0),
+    }
+    mats = {}
+    for name in _MAT_NAMES:
+        a32 = raw[name].astype(np.float32)
+        if algorithm == "x3":
+            hi = a32.astype(jnp.bfloat16)
+            lo = (a32 - np.asarray(hi, np.float32)).astype(jnp.bfloat16)
+            mats[name + "_hi"] = jnp.asarray(hi)
+            mats[name + "_lo"] = jnp.asarray(lo)
+        else:
+            mats[name] = jnp.asarray(a32)
+    for name in _AUX_NAMES:
+        mats[name] = jnp.asarray(pad(getattr(ops, name)), jnp.float32)
+
+    scal = jnp.stack([ops.nu, ops.beta_sq, ops.CFL, ops.lid_velocity,
+                      ops.inv_dx_min, ops.inv_dy_min]
+                     ).astype(jnp.float32).reshape(1, 6)
+    return mats, scal, nf, ni, nfp
+
+
+def _stage_machinery(refs, nfp, blk, algorithm):
+    """Build (run_stage, metrics_pass) closures over padded VMEM refs."""
+    nb = nfp // blk
+    eng = _DotEngine(algorithm, refs)
+    bc_u, bc_v = refs["bc_u"], refs["bc_v"]
+    interior, W2d = refs["interior"], refs["W2d"]
+    su, sv, sp = refs["su"], refs["sv"], refs["sp"]
+    A1, A2, A3, A4, A5, A6 = (refs["A1"], refs["A2"], refs["A3"],
+                              refs["A4"], refs["A5"], refs["A6"])
+    nu = refs["nu"]
+    beta_sq = refs["beta_sq"]
+
+    def run_stage(adt, base_u, base_v, base_p, accumulate: bool):
+        u_c = eng.cache(su[:])
+        v_c = eng.cache(sv[:])
+        p_c = eng.cache(sp[:])
+        A1[:] = eng.left("Dx", u_c)
+        A2[:] = eng.left("Dxx", u_c)
+        A3[:] = eng.left("Dx", v_c)
+        A4[:] = eng.left("Dxx", v_c)
+        A5[:] = eng.left("Gx", p_c)
+        A6[:] = eng.left("Ix", p_c)
+        a5_c = eng.cache(A5[:])
+        a6_c = eng.cache(A6[:])
+
+        zero = jnp.float32(0.0)
+        acc = (zero, zero, zero)
+        for i in range(nb):
+            r = slice(i * blk, (i + 1) * blk)
+            u_b = su[r, :]
+            v_b = sv[r, :]
+            du_dy = eng.right(u_c, "DyT", r)
+            dv_dy = eng.right(v_c, "DyT", r)
+            lap_u = A2[r, :] + eng.right(u_c, "DyyT", r)
+            lap_v = A4[r, :] + eng.right(v_c, "DyyT", r)
+            dp_dx = eng.right(a5_c, "IyT", r)
+            dp_dy = eng.right(a6_c, "GyT", r)
+            du_dx = A1[r, :]
+            dv_dx = A3[r, :]
+            R_u = -(u_b * du_dx + v_b * du_dy) - dp_dx + nu * lap_u
+            R_v = -(u_b * dv_dx + v_b * dv_dy) - dp_dy + nu * lap_v
+            interior_b = interior[r, :]
+            R_p = -beta_sq * (du_dx + dv_dy) * interior_b
+            su[r, :] = jnp.where(interior_b > 0.5,
+                                 base_u[r, :] + adt * R_u, bc_u[r, :])
+            sv[r, :] = jnp.where(interior_b > 0.5,
+                                 base_v[r, :] + adt * R_v, bc_v[r, :])
+            sp[r, :] = base_p[r, :] + adt * R_p
+            if accumulate:
+                acc = (acc[0] + jnp.sum(R_u * R_u),
+                       acc[1] + jnp.sum(R_v * R_v),
+                       acc[2] + jnp.sum(R_p * R_p))
+        return acc
+
+    def metrics_pass():
+        """(energy, enstrophy, palinstrophy) of the current state.
+
+        Reuses A1 for omega and A2 for Dx @ omega.
+        """
+        u_c = eng.cache(su[:])
+        v_c = eng.cache(sv[:])
+        A3[:] = eng.left("Dx", v_c)
+        zero = jnp.float32(0.0)
+        energy = enstrophy = zero
+        for i in range(nb):
+            r = slice(i * blk, (i + 1) * blk)
+            u_b = su[r, :]
+            v_b = sv[r, :]
+            om = A3[r, :] - eng.right(u_c, "DyT", r)
+            A1[r, :] = om
+            w = W2d[r, :]
+            energy = energy + 0.5 * jnp.sum(w * (u_b * u_b + v_b * v_b))
+            enstrophy = enstrophy + 0.5 * jnp.sum(w * om * om)
+
+        om_c = eng.cache(A1[:])
+        A2[:] = eng.left("Dx", om_c)
+        palinstrophy = zero
+        for i in range(nb):
+            r = slice(i * blk, (i + 1) * blk)
+            dwx = A2[r, :]
+            dwy = eng.right(om_c, "DyT", r)
+            palinstrophy = palinstrophy + 0.5 * jnp.sum(
+                W2d[r, :] * (dwx * dwx + dwy * dwy))
+        return energy, enstrophy, palinstrophy
+
+    return run_stage, metrics_pass
+
+
+def _adaptive_dt(su, sv, scal):
+    nu = scal[0, 0]
+    beta_sq = scal[0, 1]
+    cfl = scal[0, 2]
+    lid = scal[0, 3]
+    inv_dx = scal[0, 4]
+    inv_dy = scal[0, 5]
+    u_max = jnp.maximum(jnp.max(jnp.abs(su[:])), lid)
+    v_max = jnp.maximum(jnp.max(jnp.abs(sv[:])), 1e-10)
+    lam_x = (u_max + jnp.sqrt(u_max * u_max + beta_sq)) * inv_dx \
+        + nu * inv_dx * inv_dx
+    lam_y = (v_max + jnp.sqrt(v_max * v_max + beta_sq)) * inv_dy \
+        + nu * inv_dy * inv_dy
+    return cfl / (lam_x + lam_y)
+
+
+def _check_order(nf: int):
+    if nf - 1 > MAX_TILED_N:
+        raise ValueError(
+            f"tiled step kernel supports N <= {MAX_TILED_N} (got N={nf - 1});"
+            " use the XLA step")
+
+
+def _embed(state: SpectralState, nf, ni, nfp):
+    f32 = jnp.float32
+    u = jnp.zeros((nfp, nfp), f32).at[:nf, :nf].set(state.u.astype(f32))
+    v = jnp.zeros((nfp, nfp), f32).at[:nf, :nf].set(state.v.astype(f32))
+    p = jnp.zeros((nfp, nfp), f32).at[1:ni + 1, 1:ni + 1].set(
+        state.p.astype(f32))
+    return u, v, p
+
+
+def make_tiled_sg_step(ops: SpectralOps, interpret: bool = False,
+                       blk: int | None = None, algorithm: str = "x3"):
+    """Drop-in for core.sg_step: one tiled kernel per RK4 timestep."""
+    mats, scal, nf, ni, nfp = _pad_ops(ops, blk, algorithm)
+    _check_order(nf)
+    blk = nfp if blk is None else blk
+    f32 = jnp.float32
+    mat_names = list(mats)
+    n_mats = len(mat_names)
+
+    def kernel(*args):
+        op_refs = dict(zip(mat_names, args[:n_mats]))
+        (u_in, v_in, p_in, scal_ref,
+         u_out, v_out, p_out, metrics_out,
+         su, sv, sp, A1, A2, A3, A4, A5, A6) = args[n_mats:]
+
+        su[:] = u_in[:]
+        sv[:] = v_in[:]
+        sp[:] = p_in[:]
+        refs = dict(op_refs, su=su, sv=sv, sp=sp,
+                    A1=A1, A2=A2, A3=A3, A4=A4, A5=A5, A6=A6,
+                    nu=scal_ref[0, 0], beta_sq=scal_ref[0, 1])
+        run_stage, metrics_pass = _stage_machinery(refs, nfp, blk, algorithm)
+
+        dt = _adaptive_dt(su, sv, scal_ref)
+        acc = (jnp.float32(0), jnp.float32(0), jnp.float32(0))
+        for k, alpha in enumerate(_RK4_ALPHAS):
+            acc = run_stage(alpha * dt, u_in, v_in, p_in,
+                            accumulate=(k == len(_RK4_ALPHAS) - 1))
+        energy, enstrophy, palinstrophy = metrics_pass()
+
+        u_out[:] = su[:]
+        v_out[:] = sv[:]
+        p_out[:] = sp[:]
+        metrics_out[0, :] = jnp.stack([
+            jnp.sqrt(acc[0]), jnp.sqrt(acc[1]), jnp.sqrt(acc[2]),
+            energy, enstrophy, palinstrophy,
+        ])
+
+    vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    call = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((nfp, nfp), f32),
+            jax.ShapeDtypeStruct((nfp, nfp), f32),
+            jax.ShapeDtypeStruct((nfp, nfp), f32),
+            jax.ShapeDtypeStruct((1, N_METRICS), f32),
+        ),
+        in_specs=[vmem() for _ in range(n_mats + 3)]
+        + [pl.BlockSpec((1, 6), memory_space=pltpu.SMEM)],
+        out_specs=(vmem(), vmem(), vmem(), vmem()),
+        scratch_shapes=[pltpu.VMEM((nfp, nfp), f32) for _ in range(9)],
+        interpret=interpret,
+    )
+    mat_list = [mats[k] for k in mat_names]
+
+    def step(state: SpectralState):
+        u, v, p = _embed(state, nf, ni, nfp)
+        u, v, p, m = call(*mat_list, u, v, p, scal)
+        metrics = {
+            "u_eq": m[0, 0], "v_eq": m[0, 1], "continuity": m[0, 2],
+            "energy": m[0, 3], "enstrophy": m[0, 4], "palinstrophy": m[0, 5],
+        }
+        return SpectralState(u=u[:nf, :nf], v=v[:nf, :nf],
+                             p=p[1:ni + 1, 1:ni + 1]), metrics
+
+    return step
+
+
+def make_tiled_chunk_runner(ops: SpectralOps, chunk: int, tolerance: float,
+                            warmup: int, interpret: bool = False,
+                            blk: int | None = None, algorithm: str = "x3"):
+    """Drop-in for runner.make_chunk_runner at large N: K tiled steps plus
+    the convergence state machine inside ONE kernel launch (same contract as
+    ops/pallas_chunk.make_pallas_chunk_runner, rel_iter mode)."""
+    mats, scal, nf, ni, nfp = _pad_ops(ops, blk, algorithm)
+    _check_order(nf)
+    blk = nfp if blk is None else blk
+    f32 = jnp.float32
+    mat_names = list(mats)
+    n_mats = len(mat_names)
+    chunk = int(chunk)
+
+    def kernel(*args):
+        op_refs = dict(zip(mat_names, args[:n_mats]))
+        (u_in, v_in, p_in, scal_ref, iscal_ref,
+         u_out, v_out, p_out, rows_out, state_out,
+         su, sv, sp, bu, bv, bp, A1, A2, A3, A4, A5, A6) = args[n_mats:]
+
+        start_iter = iscal_ref[0, 0]
+        u_out[:] = u_in[:]
+        v_out[:] = v_in[:]
+        p_out[:] = p_in[:]
+        refs = dict(op_refs, su=su, sv=sv, sp=sp,
+                    A1=A1, A2=A2, A3=A3, A4=A4, A5=A5, A6=A6,
+                    nu=scal_ref[0, 0], beta_sq=scal_ref[0, 1])
+        run_stage, metrics_pass = _stage_machinery(refs, nfp, blk, algorithm)
+
+        def loop_body(i, carry):
+            done_i, conv_iter = carry
+            done = done_i > 0
+            idx = start_iter + i
+
+            # u_out/v_out/p_out hold the current (pre-step) state
+            su[:] = u_out[:]
+            sv[:] = v_out[:]
+            sp[:] = p_out[:]
+            u_prev_norm = jnp.sqrt(jnp.sum(u_out[:] * u_out[:]))
+            v_prev_norm = jnp.sqrt(jnp.sum(v_out[:] * v_out[:]))
+            bu[:] = u_out[:]
+            bv[:] = v_out[:]
+            bp[:] = p_out[:]
+
+            dt = _adaptive_dt(su, sv, scal_ref)
+            acc = (jnp.float32(0), jnp.float32(0), jnp.float32(0))
+            for k, alpha in enumerate(_RK4_ALPHAS):
+                acc = run_stage(alpha * dt, bu, bv, bp,
+                                accumulate=(k == len(_RK4_ALPHAS) - 1))
+            energy, enstrophy, palinstrophy = metrics_pass()
+
+            du = jnp.sqrt(jnp.sum((su[:] - bu[:]) ** 2))
+            dv = jnp.sqrt(jnp.sum((sv[:] - bv[:]) ** 2))
+            rel = jnp.maximum(du / (u_prev_norm + 1e-12),
+                              dv / (v_prev_norm + 1e-12))
+
+            nan = jnp.float32(jnp.nan)
+            row = jnp.stack([
+                jnp.where(done, nan, rel),
+                jnp.where(done, nan, jnp.sqrt(acc[0])),
+                jnp.where(done, nan, jnp.sqrt(acc[1])),
+                jnp.where(done, nan, jnp.sqrt(acc[2])),
+                jnp.where(done, nan, energy),
+                jnp.where(done, nan, enstrophy),
+                jnp.where(done, nan, palinstrophy),
+            ]).reshape(1, N_COLS)
+            rows_out[pl.ds(i, 1), :] = row
+
+            finite = jnp.isfinite(rel)
+            newly_conv = (idx >= warmup) & (rel < tolerance) & finite
+            newly_div = ~finite & ~done
+            now_done = done | newly_conv | newly_div
+            conv_iter = jnp.where(~done & now_done, idx + 1, conv_iter)
+
+            @pl.when(jnp.logical_not(done))
+            def _commit():
+                u_out[:] = su[:]
+                v_out[:] = sv[:]
+                p_out[:] = sp[:]
+
+            return (now_done.astype(jnp.int32), conv_iter)
+
+        done_i, conv_iter = jax.lax.fori_loop(
+            0, chunk, loop_body, (jnp.int32(0), jnp.int32(-1)))
+        state_out[0, 0] = done_i
+        state_out[0, 1] = conv_iter
+
+    vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    call = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((nfp, nfp), f32),
+            jax.ShapeDtypeStruct((nfp, nfp), f32),
+            jax.ShapeDtypeStruct((nfp, nfp), f32),
+            jax.ShapeDtypeStruct((chunk, N_COLS), f32),
+            jax.ShapeDtypeStruct((1, 2), jnp.int32),
+        ),
+        in_specs=[vmem() for _ in range(n_mats + 3)]
+        + [pl.BlockSpec((1, 6), memory_space=pltpu.SMEM),
+           pl.BlockSpec((1, 1), memory_space=pltpu.SMEM)],
+        out_specs=(vmem(), vmem(), vmem(), vmem(),
+                   pl.BlockSpec(memory_space=pltpu.SMEM)),
+        scratch_shapes=[pltpu.VMEM((nfp, nfp), f32) for _ in range(12)],
+        interpret=interpret,
+    )
+    mat_list = [mats[k] for k in mat_names]
+
+    @jax.jit
+    def chunk_fn(state: SpectralState, start_iter, ref_norm):
+        u, v, p = _embed(state, nf, ni, nfp)
+        iscal = jnp.asarray(start_iter, jnp.int32).reshape(1, 1)
+        u, v, p, rows, flags = call(*mat_list, u, v, p, scal, iscal)
+        new_state = SpectralState(u=u[:nf, :nf], v=v[:nf, :nf],
+                                  p=p[1:ni + 1, 1:ni + 1])
+        done = flags[0, 0] > 0
+        conv_iter = flags[0, 1]
+        converged = done & jnp.isfinite(
+            rows[jnp.maximum(conv_iter - 1 - start_iter, 0), 0])
+        return new_state, done, conv_iter, converged, rows, ref_norm
+
+    return chunk_fn

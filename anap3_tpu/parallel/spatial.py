@@ -35,7 +35,27 @@ from ..models.params import SpectralParameters
 from ..models import spectral_sg as core
 
 __all__ = ["ShardedSpectralOps", "build_sharded_ops", "make_sharded_step",
-           "shard_state", "pad_pressure", "unpad_pressure"]
+           "make_sharded_chunk_runner", "make_step_ops_spec", "shard_state",
+           "pad_pressure", "unpad_pressure", "spatial_mesh_from_config"]
+
+
+def spatial_mesh_from_config(machine_cfg: dict, nf: int):
+    """Build the tensor-parallel mesh requested by ``machine.mesh_axes``.
+
+    Returns a Mesh with a single ``x`` axis over as many devices as divide
+    the row count ``nf``, or None when the config does not request spatial
+    sharding / only one device is usable.
+    """
+    axes = machine_cfg.get("mesh_axes") or []
+    if "x" not in axes:
+        return None
+    devices = jax.devices()
+    n = len(devices)
+    while n > 1 and nf % n != 0:
+        n -= 1
+    if n <= 1:
+        return None
+    return Mesh(np.array(devices[:n]), ("x",))
 
 _HIGHEST = jax.lax.Precision.HIGHEST
 
@@ -61,6 +81,7 @@ class ShardedSpectralOps:
     bc_v: jnp.ndarray
     interior: jnp.ndarray   # velocity interior mask — sharded by rows
     p_mask: jnp.ndarray     # inner-grid mask for the padded pressure
+    W2d: jnp.ndarray        # quadrature weights — sharded by rows
     nu: jnp.ndarray
     beta_sq: jnp.ndarray
     CFL: jnp.ndarray
@@ -69,8 +90,8 @@ class ShardedSpectralOps:
     inv_dy_min: jnp.ndarray
 
     _FIELDS = ("Dx", "Dxx", "DyT", "DyyT", "GxP", "IxP", "IyPT", "GyPT",
-               "bc_u", "bc_v", "interior", "p_mask", "nu", "beta_sq", "CFL",
-               "lid_velocity", "inv_dx_min", "inv_dy_min")
+               "bc_u", "bc_v", "interior", "p_mask", "W2d", "nu", "beta_sq",
+               "CFL", "lid_velocity", "inv_dx_min", "inv_dy_min")
 
     def tree_flatten(self):
         return tuple(getattr(self, f) for f in self._FIELDS), None
@@ -106,7 +127,7 @@ def build_sharded_ops(params: SpectralParameters, n: int | None = None,
         GxP=cast(GxP), IxP=cast(IxP), IyPT=cast(IyP.T), GyPT=cast(GyP.T),
         bc_u=cast(base_ops.bc_u), bc_v=cast(base_ops.bc_v),
         interior=cast(np.asarray(base_ops.interior, dtype=float)),
-        p_mask=cast(p_mask),
+        p_mask=cast(p_mask), W2d=cast(base_ops.W2d),
         nu=cast(base_ops.nu), beta_sq=cast(base_ops.beta_sq),
         CFL=cast(base_ops.CFL), lid_velocity=cast(base_ops.lid_velocity),
         inv_dx_min=cast(base_ops.inv_dx_min), inv_dy_min=cast(base_ops.inv_dy_min),
@@ -124,6 +145,61 @@ def unpad_pressure(p_pad: jnp.ndarray) -> jnp.ndarray:
     return p_pad[..., 1:-1, 1:-1]
 
 
+def _dx_apply(ops_or_A, F_rows, x_axis):
+    """x-direction operator apply: local partial product + psum_scatter."""
+    partial_full = _mm(ops_or_A, F_rows)
+    return jax.lax.psum_scatter(partial_full, x_axis,
+                                scatter_dimension=0, tiled=True)
+
+
+def _rk4_local(ops: ShardedSpectralOps, u, v, p, x_axis):
+    """One RK4 pseudo-timestep on LOCAL row blocks (inside shard_map).
+
+    Returns (u, v, p, (R_u, R_v, R_p)) with the last stage's residuals for
+    the runner's algebraic-residual metrics.
+    """
+    def residuals(u, v, p):
+        du_dy = _mm(u, ops.DyT)
+        dv_dy = _mm(v, ops.DyT)
+        du_dx = _dx_apply(ops.Dx, u, x_axis)
+        dv_dx = _dx_apply(ops.Dx, v, x_axis)
+        lap_u = _dx_apply(ops.Dxx, u, x_axis) + _mm(u, ops.DyyT)
+        lap_v = _dx_apply(ops.Dxx, v, x_axis) + _mm(v, ops.DyyT)
+        dp_dx = _mm(_dx_apply(ops.GxP, p, x_axis), ops.IyPT)
+        dp_dy = _mm(_dx_apply(ops.IxP, p, x_axis), ops.GyPT)
+        R_u = -(u * du_dx + v * du_dy) - dp_dx + ops.nu * lap_u
+        R_v = -(u * dv_dx + v * dv_dy) - dp_dy + ops.nu * lap_v
+        R_p = -ops.beta_sq * (du_dx + dv_dy) * ops.p_mask
+        return R_u, R_v, R_p
+
+    def enforce(u, v):
+        u = ops.interior * u + (1.0 - ops.interior) * ops.bc_u
+        v = ops.interior * v + (1.0 - ops.interior) * ops.bc_v
+        return u, v
+
+    # global CFL timestep: local max + all-reduce
+    u_max_l = jnp.max(jnp.abs(u))
+    v_max_l = jnp.max(jnp.abs(v))
+    u_max = jnp.maximum(jax.lax.pmax(u_max_l, x_axis), ops.lid_velocity)
+    v_max = jnp.maximum(jax.lax.pmax(v_max_l, x_axis),
+                        jnp.asarray(1e-10, u.dtype))
+    lam_x = (u_max + jnp.sqrt(u_max**2 + ops.beta_sq)) * ops.inv_dx_min \
+        + ops.nu * ops.inv_dx_min**2
+    lam_y = (v_max + jnp.sqrt(v_max**2 + ops.beta_sq)) * ops.inv_dy_min \
+        + ops.nu * ops.inv_dy_min**2
+    dt = ops.CFL / (lam_x + lam_y)
+
+    u0, v0, p0 = u, v, p
+    R_u = R_v = R_p = None
+    for alpha in (0.25, 1.0 / 3.0, 0.5, 1.0):
+        R_u, R_v, R_p = residuals(u, v, p)
+        u = u0 + (alpha * dt) * R_u
+        v = v0 + (alpha * dt) * R_v
+        p = (p0 + (alpha * dt) * R_p) * ops.p_mask
+        u, v = enforce(u, v)
+    return u, v, p, (R_u, R_v, R_p)
+
+
 def make_sharded_step(mesh: Mesh, x_axis: str = "x",
                       batch_axis: str | None = None):
     """Build the jitted shard_map'd RK4 step.
@@ -135,50 +211,7 @@ def make_sharded_step(mesh: Mesh, x_axis: str = "x",
     """
 
     def local_step(ops: ShardedSpectralOps, u, v, p):
-        # Inside shard_map: array args are LOCAL blocks.
-        def dx_apply(A_cols, F_rows):
-            partial_full = _mm(A_cols, F_rows)
-            return jax.lax.psum_scatter(partial_full, x_axis,
-                                        scatter_dimension=0, tiled=True)
-
-        def residuals(u, v, p):
-            du_dy = _mm(u, ops.DyT)
-            dv_dy = _mm(v, ops.DyT)
-            du_dx = dx_apply(ops.Dx, u)
-            dv_dx = dx_apply(ops.Dx, v)
-            lap_u = dx_apply(ops.Dxx, u) + _mm(u, ops.DyyT)
-            lap_v = dx_apply(ops.Dxx, v) + _mm(v, ops.DyyT)
-            dp_dx = _mm(dx_apply(ops.GxP, p), ops.IyPT)
-            dp_dy = _mm(dx_apply(ops.IxP, p), ops.GyPT)
-            R_u = -(u * du_dx + v * du_dy) - dp_dx + ops.nu * lap_u
-            R_v = -(u * dv_dx + v * dv_dy) - dp_dy + ops.nu * lap_v
-            R_p = -ops.beta_sq * (du_dx + dv_dy) * ops.p_mask
-            return R_u, R_v, R_p
-
-        def enforce(u, v):
-            u = ops.interior * u + (1.0 - ops.interior) * ops.bc_u
-            v = ops.interior * v + (1.0 - ops.interior) * ops.bc_v
-            return u, v
-
-        # global CFL timestep: local max + all-reduce
-        u_max_l = jnp.max(jnp.abs(u))
-        v_max_l = jnp.max(jnp.abs(v))
-        u_max = jnp.maximum(jax.lax.pmax(u_max_l, x_axis), ops.lid_velocity)
-        v_max = jnp.maximum(jax.lax.pmax(v_max_l, x_axis),
-                            jnp.asarray(1e-10, u.dtype))
-        lam_x = (u_max + jnp.sqrt(u_max**2 + ops.beta_sq)) * ops.inv_dx_min \
-            + ops.nu * ops.inv_dx_min**2
-        lam_y = (v_max + jnp.sqrt(v_max**2 + ops.beta_sq)) * ops.inv_dy_min \
-            + ops.nu * ops.inv_dy_min**2
-        dt = ops.CFL / (lam_x + lam_y)
-
-        u0, v0, p0 = u, v, p
-        for alpha in (0.25, 1.0 / 3.0, 0.5, 1.0):
-            R_u, R_v, R_p = residuals(u, v, p)
-            u = u0 + (alpha * dt) * R_u
-            v = v0 + (alpha * dt) * R_v
-            p = (p0 + (alpha * dt) * R_p) * ops.p_mask
-            u, v = enforce(u, v)
+        u, v, p, _R = _rk4_local(ops, u, v, p, x_axis)
         return u, v, p
 
     ops_spec = make_step_ops_spec(x_axis)
@@ -201,6 +234,102 @@ def make_sharded_step(mesh: Mesh, x_axis: str = "x",
     return jax.jit(sharded)
 
 
+def make_sharded_chunk_runner(mesh: Mesh, ops_sharded: ShardedSpectralOps,
+                              chunk: int, tolerance: float, warmup: int = 10,
+                              x_axis: str = "x",
+                              convergence_metric: str = "rel_iter"):
+    """Chunked convergence runner over the sharded step.
+
+    Drop-in for ``models.runner.run_fixed_point``'s ``chunk_runner``
+    contract — ``chunk_fn(state, start_iter, ref_norm) -> (state, done,
+    conv_iter, converged, rows, ref_norm)`` — where ``state`` is the
+    (u, v, p_padded) tuple with rows sharded over ``mesh[x_axis]``. All
+    convergence/metric reductions are global (psum over the mesh axis), so
+    the loop semantics are bit-compatible with the single-device runner:
+    relative-iterate (or normalized-residual) criterion, warmup gate,
+    done-freezing, NaN divergence detection, per-step metric rows.
+    """
+    from jax.experimental.shard_map import shard_map
+
+    use_residual = convergence_metric == "residual"
+    chunk = int(chunk)
+
+    def local_chunk(ops, u, v, p, start_iter, ref_norm):
+        def gsum(a):
+            return jax.lax.psum(jnp.sum(a), x_axis)
+
+        def gnorm(a):
+            return jnp.sqrt(gsum(a * a))
+
+        def body(carry, offset):
+            u, v, p, done, conv_iter, ref_norm = carry
+            idx = (start_iter + offset).astype(jnp.int32)
+            u_n, v_n, p_n, (R_u, R_v, R_p) = _rk4_local(ops, u, v, p, x_axis)
+
+            rel = jnp.maximum(gnorm(u_n - u) / (gnorm(u) + 1e-12),
+                              gnorm(v_n - v) / (gnorm(v) + 1e-12))
+            omega = _dx_apply(ops.Dx, v_n, x_axis) - _mm(u_n, ops.DyT)
+            dwx = _dx_apply(ops.Dx, omega, x_axis)
+            dwy = _mm(omega, ops.DyT)
+            W = ops.W2d
+            cont = gnorm(R_p)
+            nan = jnp.asarray(jnp.nan, u.dtype)
+            frozen = done
+            row = jnp.stack([
+                jnp.where(frozen, nan, rel),
+                jnp.where(frozen, nan, gnorm(R_u)),
+                jnp.where(frozen, nan, gnorm(R_v)),
+                jnp.where(frozen, nan, cont),
+                jnp.where(frozen, nan,
+                          0.5 * gsum(W * (u_n * u_n + v_n * v_n))),
+                jnp.where(frozen, nan, 0.5 * gsum(W * omega * omega)),
+                jnp.where(frozen, nan,
+                          0.5 * gsum(W * (dwx * dwx + dwy * dwy))),
+            ])
+
+            if use_residual:
+                ref_norm = jnp.where(idx == warmup, cont, ref_norm)
+                crit = cont / jnp.maximum(ref_norm, 1e-30)
+            else:
+                crit = rel
+            finite = jnp.isfinite(rel)
+            newly_conv = (idx >= warmup) & (crit < tolerance) & finite
+            newly_div = ~finite & ~done
+            now_done = done | newly_conv | newly_div
+            conv_iter = jnp.where(~done & now_done, idx + 1, conv_iter)
+
+            keep = lambda new, old: jnp.where(done, old, new)
+            return (keep(u_n, u), keep(v_n, v), keep(p_n, p),
+                    now_done, conv_iter, ref_norm), (row, newly_conv)
+
+        init = (u, v, p, jnp.asarray(False), jnp.asarray(-1, jnp.int32),
+                ref_norm)
+        (u, v, p, done, conv_iter, ref_norm), (rows, conv_flags) = \
+            jax.lax.scan(body, init, jnp.arange(chunk))
+        converged = jnp.any(conv_flags)
+        return u, v, p, done, conv_iter, converged, rows, ref_norm
+
+    row_spec = P(x_axis, None)
+    rep = P()
+    sharded = shard_map(
+        local_chunk, mesh=mesh,
+        in_specs=(make_step_ops_spec(x_axis), row_spec, row_spec, row_spec,
+                  rep, rep),
+        out_specs=(row_spec, row_spec, row_spec, rep, rep, rep, rep, rep),
+        check_rep=False,
+    )
+    jit_sharded = jax.jit(sharded)
+
+    def chunk_fn(state, start_iter, ref_norm):
+        u, v, p = state
+        u, v, p, done, conv_iter, converged, rows, ref_norm = jit_sharded(
+            ops_sharded, u, v, p, jnp.asarray(start_iter, jnp.int32),
+            jnp.asarray(ref_norm, u.dtype))
+        return (u, v, p), done, conv_iter, converged, rows, ref_norm
+
+    return chunk_fn
+
+
 def make_step_ops_spec(x_axis: str = "x") -> ShardedSpectralOps:
     """PartitionSpec pytree matching ShardedSpectralOps for shard_map/device_put."""
     row = P(x_axis, None)
@@ -209,7 +338,7 @@ def make_step_ops_spec(x_axis: str = "x") -> ShardedSpectralOps:
     return ShardedSpectralOps(
         Dx=col, Dxx=col, DyT=rep, DyyT=rep,
         GxP=col, IxP=col, IyPT=rep, GyPT=rep,
-        bc_u=row, bc_v=row, interior=row, p_mask=row,
+        bc_u=row, bc_v=row, interior=row, p_mask=row, W2d=row,
         nu=rep, beta_sq=rep, CFL=rep, lid_velocity=rep,
         inv_dx_min=rep, inv_dy_min=rep,
     )

@@ -29,15 +29,9 @@ TARGET_SECONDS = 6.0
 def _enable_compile_cache():
     """Persistent XLA compile cache — first-compile over the remote-compile
     tunnel costs minutes; cached reruns cost milliseconds."""
-    import jax
+    from anap3_tpu.utils.compile_cache import enable_compile_cache
 
-    cache_dir = Path(__file__).resolve().parent / ".jax_cache"
-    cache_dir.mkdir(exist_ok=True)
-    try:
-        jax.config.update("jax_compilation_cache_dir", str(cache_dir))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-    except Exception:
-        pass
+    enable_compile_cache(Path(__file__).resolve().parent / ".jax_cache")
 
 
 def bench_device() -> tuple[float, dict]:
@@ -57,15 +51,17 @@ def bench_device() -> tuple[float, dict]:
     ops, _ = core.build_spectral_ops(params)
     state = core.initial_state(ops)
 
-    # Production TPU path (ops/pallas_chunk.py): whole chunks of RK4 steps
-    # fused into single Mosaic kernels, including the per-step convergence
-    # state machine — exactly what SGSolver runs on TPU float32. Falls back
-    # to the XLA per-step scan where Pallas is unavailable.
-    step_kind = "pallas-chunk"
+    # Production TPU path (ops/pallas_tiled.py, x3 matmul algorithm): whole
+    # chunks of RK4 steps fused into single Mosaic kernels, including the
+    # per-step convergence state machine — exactly what SGSolver runs on TPU
+    # float32 with matmul_algorithm=auto. Falls back to the XLA per-step
+    # scan where Pallas is unavailable.
+    step_kind = "pallas-tiled-x3-chunk"
     try:
-        from anap3_tpu.ops.pallas_chunk import make_pallas_chunk_runner
+        from anap3_tpu.ops.pallas_tiled import make_tiled_chunk_runner
 
-        runner = make_pallas_chunk_runner(ops, STEPS_PER_CALL, 1e-12, 10)
+        runner = make_tiled_chunk_runner(ops, STEPS_PER_CALL, 1e-12, 10,
+                                         algorithm="x3")
 
         def run_chunk(state, it, ref):
             new_state, done, conv, cv, rows, ref = runner(state, it, ref)

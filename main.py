@@ -200,6 +200,17 @@ def run_solver(cfg: dict, parent_run_id: str | None = None):
         tags.update({"mlflow.parentRunId": parent_run_id,
                      "parent_run_id": parent_run_id, "sweep": "child"})
 
+    # tensor-parallel single-solve sharding (machine.mesh_axes: [x])
+    if hasattr(solver, "spatial_mesh"):
+        from anap3_tpu.parallel.spatial import spatial_mesh_from_config
+
+        mesh = spatial_mesh_from_config(cfg.get("machine", {}),
+                                        nf=int(cfg["N"]) + 1)
+        if mesh is not None:
+            solver.spatial_mesh = mesh
+            log.info("Spatial sharding: %d devices on the x axis",
+                     mesh.devices.size)
+
     with T.start_run(run_name=run_name, tags=tags) as run:
         T.log_params(solver.params.to_mlflow())
         T.log_dict(_plain(cfg), "config.yaml")

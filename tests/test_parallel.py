@@ -247,3 +247,81 @@ class TestHistoryCap:
         np.testing.assert_allclose(res.history["energy"][:, :],
                                    res_full.history["energy"][:, sel],
                                    rtol=1e-12)
+
+
+class TestShardedSolve:
+    """Round-2: tensor-parallel CONVERGED solves (VERDICT item 5)."""
+
+    def _mesh(self, n):
+        return Mesh(np.array(jax.devices()[:n]), ("x",))
+
+    def test_sharded_runner_converges_and_matches_single(self):
+        from anap3_tpu.models.runner import run_fixed_point
+        from anap3_tpu.models import spectral_sg as core
+
+        p = make_params(100.0, nx=15, ny=15, tolerance=1e-5,
+                        max_iterations=20000)
+        # single-device reference
+        ops, _ = core.build_spectral_ops(p, dtype=jnp.float32)
+        state = core.initial_state(ops)
+        ref = run_fixed_point(lambda s: core.sg_step(ops, s),
+                              lambda s: (s.u, s.v), state,
+                              tolerance=1e-5, max_iterations=20000, chunk=200)
+        assert ref.converged
+
+        mesh = self._mesh(4)
+        from jax.sharding import NamedSharding
+        ops_sh, _ = spatial.build_sharded_ops(p, dtype=jnp.float32)
+        spec = spatial.make_step_ops_spec()
+        ops_sh = jax.tree.map(
+            lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+            ops_sh, spec)
+        u = state.u
+        v = state.v
+        pp = spatial.pad_pressure(state.p)
+        u, v, pp = spatial.shard_state(mesh, (u, v, pp))
+
+        res = run_fixed_point(
+            None, lambda s: (s[0], s[1]), (u, v, pp),
+            tolerance=1e-5, max_iterations=20000, chunk=200,
+            chunk_runner=lambda chunk: spatial.make_sharded_chunk_runner(
+                mesh, ops_sh, chunk, 1e-5, 10))
+        assert res.converged
+        assert res.iterations == ref.iterations  # bit-compatible criterion
+        u_f, v_f, pp_f = res.state
+        np.testing.assert_allclose(np.asarray(u_f), np.asarray(ref.state.u),
+                                   rtol=1e-4, atol=1e-5)
+        # recorded histories agree
+        np.testing.assert_allclose(
+            np.asarray(res.history["energy"][:50]),
+            np.asarray(ref.history["energy"][:50]), rtol=1e-4)
+
+    def test_sgsolver_spatial_mesh_end_to_end(self):
+        from anap3_tpu.models.spectral import SGSolver
+
+        p = make_params(100.0, nx=15, ny=15, tolerance=1e-4,
+                        max_iterations=20000)
+        ref = SGSolver(params=make_params(100.0, nx=15, ny=15,
+                                          tolerance=1e-4,
+                                          max_iterations=20000))
+        ref.solve()
+        sh = SGSolver(params=p)
+        sh.spatial_mesh = self._mesh(4)
+        sh.solve()
+        assert sh.metrics.converged and ref.metrics.converged
+        assert sh.metrics.iterations == ref.metrics.iterations
+        np.testing.assert_allclose(np.asarray(sh.state.u),
+                                   np.asarray(ref.state.u),
+                                   rtol=1e-4, atol=1e-5)
+        # full analysis pipeline works on the gathered state
+        m = sh.compute_vortex_metrics()
+        assert np.isfinite(m["psi_min"])
+
+    def test_mesh_from_config(self):
+        from anap3_tpu.parallel.spatial import spatial_mesh_from_config
+
+        mesh = spatial_mesh_from_config({"mesh_axes": ["x"]}, nf=16)
+        assert mesh is not None and mesh.devices.size == 8
+        assert spatial_mesh_from_config({"mesh_axes": ["sweep"]}, nf=16) is None
+        mesh13 = spatial_mesh_from_config({"mesh_axes": ["x"]}, nf=13)
+        assert mesh13 is None  # 13 rows: no usable divisor > 1
