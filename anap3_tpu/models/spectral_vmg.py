@@ -76,18 +76,48 @@ class VmgLevel:
     pro_inner: jnp.ndarray | None = None
 
 
-def default_coarsest_n(Re: float) -> int:
-    """Coarsest polynomial order that still resolves the convection physics.
+# Calibration of the cell-Peclet safeguards (measured on the v5e, f32):
+# N=12 at Re=1000 (Pe=131) diverges even with damping 0.6; N=24 at Re=1000
+# (Pe=65) is stable with 0.6; N=12 at Re=100 (Pe=13) takes full-strength
+# corrections. The thresholds below reproduce those observations while
+# responding to the actual coarse-grid resolution instead of raw Re buckets.
+PE_COARSEST_MAX = 70.0      # coarsest level must have Pe <= this
+PE_FULL_CORRECTION = 15.0   # undamped corrections below this
 
-    FAS corrections from a convection-under-resolved coarsest grid
-    destabilize the fine level (observed: N=12 at Re=1000 diverges even with
-    damping 0.6, N=24 coarse is stable); scale the floor with Re.
+
+def cell_peclet(Re: float, n: int) -> float:
+    """Cell Peclet of a CGL grid of order n: Pe = U h_max / nu = Re*pi/(2n).
+
+    h_max is the largest Chebyshev-Gauss-Lobatto spacing (at the domain
+    center), pi*Lx/(2n); nu = U*Lx/Re. Measures how well the grid resolves
+    convection — FAS corrections from a convection-under-resolved coarse
+    grid destabilize the fine level.
     """
-    if Re <= 400:
-        return 12
-    if Re <= 3200:
-        return 24
-    return 32
+    return float(Re) * np.pi / (2.0 * n)
+
+
+def default_coarsest_n(Re: float) -> int:
+    """Coarsest order whose cell Peclet stays within PE_COARSEST_MAX."""
+    return max(12, int(np.ceil(float(Re) * np.pi / (2.0 * PE_COARSEST_MAX))))
+
+
+def correction_damping(Re: float, coarsest_n: int) -> float:
+    """Coarse-correction under-relaxation from the measured Pe criterion."""
+    return 1.0 if cell_peclet(Re, coarsest_n) <= PE_FULL_CORRECTION else 0.6
+
+
+def build_fused_tau_steps(solver, levels) -> dict | None:
+    """FAS-forced fused kernels per level (the fast smoothing path)."""
+    if not solver._pallas_enabled():
+        return None
+    from ..ops.pallas_tiled import MAX_TILED_N, make_tiled_sg_step
+
+    alg = str(getattr(solver.params, "matmul_algorithm", "auto") or
+              "auto").lower()
+    if alg == "auto":
+        alg = "x3"
+    return {i: make_tiled_sg_step(lv.ops, algorithm=alg, with_tau=True)
+            for i, lv in enumerate(levels) if lv.n <= MAX_TILED_N}
 
 
 def build_vmg_levels(params: SpectralParameters, n_fine: int | None = None,
@@ -135,18 +165,35 @@ def _zero_boundary(a: jnp.ndarray) -> jnp.ndarray:
 
 
 def make_v_cycle(levels: List[VmgLevel], nu1: int = 2, nu2: int = 2,
-                 nu_coarse: int = 30, damping: float = 1.0):
+                 nu_coarse: int = 30, damping: float = 1.0,
+                 fused_steps: dict | None = None):
     """Build the jitted V-cycle step: state -> (state, metrics).
 
     ``damping`` under-relaxes the prolongated coarse-grid correction —
-    needed at high Re where the coarsest level is convection-under-resolved
-    and full corrections destabilize the fine level.
-    """
+    needed when the coarse grids are convection-under-resolved (see
+    correction_damping / the cell-Peclet criterion).
 
-    def smooth(level: VmgLevel, state, tau, n_steps: int):
-        def body(s, _):
-            s, m = core.sg_step(level.ops, s, tau=tau)
-            return s, m
+    ``fused_steps`` (optional {level_idx: step(state, tau)}) runs the
+    smoothing sweeps through the FAS-forced fused Pallas kernels
+    (ops/pallas_tiled.make_tiled_sg_step(with_tau=True)) instead of the XLA
+    step — the round-2 fix that puts V-cycles on the fast kernel path.
+    """
+    fused_steps = fused_steps or {}
+
+    def smooth(idx: int, state, tau, n_steps: int):
+        level = levels[idx]
+        fstep = fused_steps.get(idx)
+        if fstep is not None:
+            tau_f = tau if tau is not None else (
+                jnp.zeros_like(state.u), jnp.zeros_like(state.v),
+                jnp.zeros_like(state.p))
+
+            def body(s, _):
+                return fstep(s, tau_f)
+        else:
+            def body(s, _):
+                return core.sg_step(level.ops, s, tau=tau)
+
         state, ms = jax.lax.scan(body, state, None, length=n_steps)
         last = jax.tree.map(lambda x: x[-1], ms)
         return state, last
@@ -162,10 +209,10 @@ def make_v_cycle(levels: List[VmgLevel], nu1: int = 2, nu2: int = 2,
     def cycle(idx: int, state, tau):
         level = levels[idx]
         if idx == len(levels) - 1:  # coarsest: just smooth
-            state, m = smooth(level, state, tau, nu_coarse)
+            state, m = smooth(idx, state, tau, nu_coarse)
             return state, m
 
-        state, _ = smooth(level, state, tau, nu1)
+        state, _ = smooth(idx, state, tau, nu1)
 
         d_u, d_v, d_p = defect(level, state, tau)
         # zero velocity defects on the boundary ring BEFORE spectral
@@ -199,7 +246,7 @@ def make_v_cycle(levels: List[VmgLevel], nu1: int = 2, nu2: int = 2,
         u, v = core.enforce_bc(level.ops, u, v)
         state = core.SpectralState(u=u, v=v, p=p)
 
-        state, m = smooth(level, state, tau, nu2)
+        state, m = smooth(idx, state, tau, nu2)
         return state, m
 
     def v_cycle_step(state):
@@ -215,22 +262,20 @@ class VMGSolver(SGSolver):
     NU2 = 2
     NU_COARSE = 30
 
-    def _damping(self) -> float:
-        """Correction damping: full at low Re; under-relaxed when the coarse
-        grids are convection-under-resolved (empirically needed for
-        Re >~ 400 with N/2^levels coarse orders)."""
-        Re = float(self.params.Re)
-        if Re <= 200:
-            return 1.0
-        return 0.6
+    def _fused_steps(self, levels) -> dict | None:
+        return build_fused_tau_steps(self, levels)
 
     def solve(self, tolerance: float = None, max_iter: int = None) -> None:
         tol = self.params.tolerance if tolerance is None else tolerance
         max_iter = self.params.max_iterations if max_iter is None else max_iter
         levels = build_vmg_levels(self.params)
-        log.info("VMG hierarchy: N = %s", [lv.n for lv in levels])
+        damping = correction_damping(float(self.params.Re), levels[-1].n)
+        log.info("VMG hierarchy: N = %s (coarsest Pe=%.0f, damping=%.1f)",
+                 [lv.n for lv in levels],
+                 cell_peclet(float(self.params.Re), levels[-1].n), damping)
         v_cycle = make_v_cycle(levels, self.NU1, self.NU2, self.NU_COARSE,
-                               damping=self._damping())
+                               damping=damping,
+                               fused_steps=self._fused_steps(levels))
         # per-cycle work = nu1+nu2 fine smoothing steps; scale the cycle
         # budget so max_iterations keeps its fine-step meaning
         max_cycles = max(1, max_iter // (self.NU1 + self.NU2))
@@ -277,8 +322,11 @@ class FMGSolver(SGSolver):
                 prev = coarse_to_fine[k - 1]
                 state = self._prolongate_fmg(prev, level, state, dtype)
             if len(sub_levels) > 1:
-                step = make_v_cycle(sub_levels, self.NU1, self.NU2,
-                                    self.NU_COARSE)
+                step = make_v_cycle(
+                    sub_levels, self.NU1, self.NU2, self.NU_COARSE,
+                    damping=correction_damping(float(self.params.Re),
+                                               sub_levels[-1].n),
+                    fused_steps=build_fused_tau_steps(self, sub_levels))
                 budget = max(1, max_iter // (self.NU1 + self.NU2))
             else:
                 def step(s, _ops=level.ops):

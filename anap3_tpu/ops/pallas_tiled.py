@@ -203,6 +203,10 @@ def _stage_machinery(refs, nfp, blk, algorithm):
             R_v = -(u_b * dv_dx + v_b * dv_dy) - dp_dy + nu * lap_v
             interior_b = interior[r, :]
             R_p = -beta_sq * (du_dx + dv_dy) * interior_b
+            if "tau_u" in refs:  # FAS forcing (V-cycle multigrid smoothing)
+                R_u = R_u + refs["tau_u"][r, :]
+                R_v = R_v + refs["tau_v"][r, :]
+                R_p = R_p + refs["tau_p"][r, :]
             su[r, :] = jnp.where(interior_b > 0.5,
                                  base_u[r, :] + adt * R_u, bc_u[r, :])
             sv[r, :] = jnp.where(interior_b > 0.5,
@@ -281,27 +285,40 @@ def _embed(state: SpectralState, nf, ni, nfp):
 
 
 def make_tiled_sg_step(ops: SpectralOps, interpret: bool = False,
-                       blk: int | None = None, algorithm: str = "x3"):
-    """Drop-in for core.sg_step: one tiled kernel per RK4 timestep."""
+                       blk: int | None = None, algorithm: str = "x3",
+                       with_tau: bool = False):
+    """Drop-in for core.sg_step: one tiled kernel per RK4 timestep.
+
+    ``with_tau=True`` builds the FAS-forced variant for V-cycle multigrid
+    smoothing: the returned function has signature
+    ``step(state, (tau_u, tau_v, tau_p))`` and adds the forcing to every
+    stage residual (core.sg_step's ``tau`` hook).
+    """
     mats, scal, nf, ni, nfp = _pad_ops(ops, blk, algorithm)
     _check_order(nf)
     blk = nfp if blk is None else blk
     f32 = jnp.float32
     mat_names = list(mats)
     n_mats = len(mat_names)
+    n_tau = 3 if with_tau else 0
 
     def kernel(*args):
         op_refs = dict(zip(mat_names, args[:n_mats]))
-        (u_in, v_in, p_in, scal_ref,
+        rest = args[n_mats:]
+        u_in, v_in, p_in = rest[:3]
+        tau_refs = {}
+        if with_tau:
+            tau_refs = dict(zip(("tau_u", "tau_v", "tau_p"), rest[3:6]))
+        (scal_ref,
          u_out, v_out, p_out, metrics_out,
-         su, sv, sp, A1, A2, A3, A4, A5, A6) = args[n_mats:]
+         su, sv, sp, A1, A2, A3, A4, A5, A6) = rest[3 + n_tau:]
 
         su[:] = u_in[:]
         sv[:] = v_in[:]
         sp[:] = p_in[:]
         refs = dict(op_refs, su=su, sv=sv, sp=sp,
                     A1=A1, A2=A2, A3=A3, A4=A4, A5=A5, A6=A6,
-                    nu=scal_ref[0, 0], beta_sq=scal_ref[0, 1])
+                    nu=scal_ref[0, 0], beta_sq=scal_ref[0, 1], **tau_refs)
         run_stage, metrics_pass = _stage_machinery(refs, nfp, blk, algorithm)
 
         dt = _adaptive_dt(su, sv, scal_ref)
@@ -328,7 +345,7 @@ def make_tiled_sg_step(ops: SpectralOps, interpret: bool = False,
             jax.ShapeDtypeStruct((nfp, nfp), f32),
             jax.ShapeDtypeStruct((1, N_METRICS), f32),
         ),
-        in_specs=[vmem() for _ in range(n_mats + 3)]
+        in_specs=[vmem() for _ in range(n_mats + 3 + n_tau)]
         + [pl.BlockSpec((1, 6), memory_space=pltpu.SMEM)],
         out_specs=(vmem(), vmem(), vmem(), vmem()),
         scratch_shapes=[pltpu.VMEM((nfp, nfp), f32) for _ in range(9)],
@@ -336,15 +353,30 @@ def make_tiled_sg_step(ops: SpectralOps, interpret: bool = False,
     )
     mat_list = [mats[k] for k in mat_names]
 
-    def step(state: SpectralState):
-        u, v, p = _embed(state, nf, ni, nfp)
-        u, v, p, m = call(*mat_list, u, v, p, scal)
+    def unpack(u, v, p, m):
         metrics = {
             "u_eq": m[0, 0], "v_eq": m[0, 1], "continuity": m[0, 2],
             "energy": m[0, 3], "enstrophy": m[0, 4], "palinstrophy": m[0, 5],
         }
         return SpectralState(u=u[:nf, :nf], v=v[:nf, :nf],
                              p=p[1:ni + 1, 1:ni + 1]), metrics
+
+    if with_tau:
+        def step(state: SpectralState, tau):
+            u, v, p = _embed(state, nf, ni, nfp)
+            zpad = lambda a: jnp.zeros((nfp, nfp), f32).at[
+                :a.shape[0], :a.shape[1]].set(a.astype(f32))
+            t_u = zpad(tau[0])
+            t_v = zpad(tau[1])
+            t_p = jnp.zeros((nfp, nfp), f32).at[1:ni + 1, 1:ni + 1].set(
+                tau[2].astype(f32))
+            u, v, p, m = call(*mat_list, u, v, p, t_u, t_v, t_p, scal)
+            return unpack(u, v, p, m)
+    else:
+        def step(state: SpectralState):
+            u, v, p = _embed(state, nf, ni, nfp)
+            u, v, p, m = call(*mat_list, u, v, p, scal)
+            return unpack(u, v, p, m)
 
     return step
 

@@ -57,47 +57,68 @@ def plot_vorticity(fields: dict, Re, solver_name, N, output_dir) -> Path:
     return out
 
 
-def generate_field_plots(fields: dict, output_dir) -> dict:
-    """u.png, v.png, pressure.png, vel-mag.png, streamlines.png."""
+def generate_field_plots(fields: dict, output_dir, dpi: int = 300,
+                         resample_n: int = 512) -> dict:
+    """u.png, v.png, pressure.png, vel-mag.png, streamlines.png.
+
+    Render tier matched to the reference's 2400^2 off-screen PyVista
+    screenshots (pyvista_fields.py:55-161): 8-inch square axes at dpi=300
+    give a ~2400-pixel field image, the data is spline-resampled to a
+    512^2 uniform grid, u/v use the paraview-like cool-to-warm diverging
+    map, and the streamline plot seeds a uniform grid with unbroken lines
+    (the evenly-spaced-streamline look of the PyVista renderer).
+    """
     output_dir = Path(output_dir)
     x, y, U, V, P = restructure_fields(fields)
-    xi, yi, Ui = _resample(x, y, U)
-    _, _, Vi = _resample(x, y, V)
-    _, _, Pi = _resample(x, y, P)
+    xi, yi, Ui = _resample(x, y, U, n=resample_n)
+    _, _, Vi = _resample(x, y, V, n=resample_n)
+    _, _, Pi = _resample(x, y, P, n=resample_n)
     mag = np.sqrt(Ui**2 + Vi**2)
 
     out: dict = {}
 
     def render(name, F, cmap, label):
-        fig, ax = plt.subplots(figsize=(6, 5.5))
-        im = ax.pcolormesh(xi, yi, F, cmap=cmap, shading="auto")
+        fig, ax = plt.subplots(figsize=(8.6, 8))
+        im = ax.pcolormesh(xi, yi, F, cmap=cmap, shading="gouraud",
+                           rasterized=True)
         fig.colorbar(im, ax=ax, label=label)
         ax.set_aspect("equal")
         ax.set_xlabel("$x$")
         ax.set_ylabel("$y$")
         path = output_dir / f"{name}.png"
-        fig.savefig(path, dpi=200)
+        fig.savefig(path, dpi=dpi)
         plt.close(fig)
         out[name] = path
 
-    render("u", Ui, "RdBu_r", "$u$")
-    render("v", Vi, "RdBu_r", "$v$")
+    render("u", Ui, "coolwarm", "$u$")
+    render("v", Vi, "coolwarm", "$v$")
     render("pressure", Pi, "viridis", "$p$")
     render("vel-mag", mag, "magma", r"$|\mathbf{u}|$")
 
-    # streamlines with density fallback (mirrors pyvista_fields fallbacks)
-    for density in (2.0, 1.2, 0.7):
+    # Evenly-spaced streamlines: uniform seed grid + unbroken lines where
+    # matplotlib supports it (>=3.6), with the density-fallback retries the
+    # reference uses for its subprocess-isolated VTK renderer.
+    for density, n_seed in ((2.0, 24), (1.2, 16), (0.7, 10)):
         try:
-            fig, ax = plt.subplots(figsize=(6, 5.5))
-            ax.streamplot(xi, yi, Ui, Vi, density=density, color=mag,
-                          cmap="magma", linewidth=0.8)
+            fig, ax = plt.subplots(figsize=(8.6, 8))
+            sx, sy = np.meshgrid(
+                np.linspace(xi.min(), xi.max(), n_seed)[1:-1],
+                np.linspace(yi.min(), yi.max(), n_seed)[1:-1])
+            seeds = np.column_stack([sx.ravel(), sy.ravel()])
+            kwargs = dict(density=density, color=mag, cmap="magma",
+                          linewidth=0.8, start_points=seeds)
+            try:
+                ax.streamplot(xi, yi, Ui, Vi, broken_streamlines=False,
+                              **kwargs)
+            except TypeError:  # older matplotlib
+                ax.streamplot(xi, yi, Ui, Vi, **kwargs)
             ax.set_aspect("equal")
             ax.set_xlim(xi.min(), xi.max())
             ax.set_ylim(yi.min(), yi.max())
             ax.set_xlabel("$x$")
             ax.set_ylabel("$y$")
             path = output_dir / "streamlines.png"
-            fig.savefig(path, dpi=200)
+            fig.savefig(path, dpi=dpi)
             plt.close(fig)
             out["streamlines"] = path
             break

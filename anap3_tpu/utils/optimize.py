@@ -45,6 +45,22 @@ class TPESampler:
             return self._stratified_sample(len(self.trials))
         return self._tpe_sample()
 
+    def ask_batch(self, k: int) -> List[dict]:
+        """K candidates for one vmapped trial batch (ask-and-tell form).
+
+        Startup samples stay stratified across the batch (each candidate
+        takes the next startup bin); TPE-phase candidates are independent
+        draws from the current good/bad split.
+        """
+        n0 = len(self.trials)
+        out = []
+        for i in range(int(k)):
+            if n0 + i < self.n_startup:
+                out.append(self._stratified_sample(n0 + i))
+            else:
+                out.append(self._tpe_sample())
+        return out
+
     def tell(self, params: dict, value: float) -> None:
         if value is None or not math.isfinite(value):
             value = float("inf") if self.direction == "minimize" else float("-inf")

@@ -1,4 +1,4 @@
-"""Experiment tracking with an MLflow-compatible file store.
+"""Experiment tracking: MLflow-compatible file store + remote delegation.
 
 The reference logs params/metrics/artifacts/tags to MLflow with a
 parent/child hierarchy for sweeps (main.py:75-120, base.py:796-964,
@@ -7,6 +7,13 @@ this module implements the same contract against the on-disk FileStore
 layout mlflow uses (``mlruns/<experiment_id>/<run_id>/{meta.yaml, params/,
 metrics/, tags/, artifacts/}``) — a later ``pip install mlflow`` can open the
 directory directly (``mlflow ui --backend-store-uri ./mlruns``).
+
+Remote mode (reference utilities/mlflow/io.py:8-33): when the tracking URI
+is http(s)/databricks AND the real ``mlflow`` package is importable, every
+call in this module delegates to the live client — the driver code is
+identical in both modes. A remote URI without the package installed raises
+immediately (silently writing to a local directory instead of the requested
+server would lose data).
 
 Key names, metric semantics (step-indexed histories) and the parent-run
 tagging convention (``mlflow.parentRunId``) are kept identical so plotting
@@ -35,7 +42,15 @@ __all__ = [
     "Run",
 ]
 
-_state = {"uri": Path("./mlruns"), "experiment_id": None, "stack": []}
+_state = {"uri": Path("./mlruns"), "experiment_id": None, "stack": [],
+          "mlflow": None}
+
+_REMOTE_SCHEMES = ("http://", "https://", "databricks")
+
+
+def _mlflow():
+    """The real mlflow module when a remote URI is configured, else None."""
+    return _state["mlflow"]
 
 
 def _ms() -> int:
@@ -44,12 +59,26 @@ def _ms() -> int:
 
 def set_tracking_uri(uri) -> None:
     uri = str(uri)
+    if uri.startswith(_REMOTE_SCHEMES):
+        try:
+            import mlflow
+        except ImportError as exc:
+            raise RuntimeError(
+                f"Remote tracking URI {uri!r} requires the mlflow package "
+                "(pip install mlflow); refusing to silently log to a local "
+                "directory instead.") from exc
+        mlflow.set_tracking_uri(uri)
+        _state["mlflow"] = mlflow
+        _state["uri"] = uri
+        log.info("Remote MLflow tracking: %s", uri)
+        return
+    _state["mlflow"] = None
     if uri.startswith("file:"):
         uri = uri[len("file:"):]
     _state["uri"] = Path(uri)
 
 
-def get_tracking_uri() -> Path:
+def get_tracking_uri():
     return _state["uri"]
 
 
@@ -71,7 +100,23 @@ def _experiments() -> Dict[str, str]:
     return out
 
 
+def _client():
+    m = _mlflow()
+    if m is None:
+        return None
+    if _state.get("client") is None or _state.get("client_of") is not m:
+        _state["client"] = m.tracking.MlflowClient()
+        _state["client_of"] = m
+    return _state["client"]
+
+
 def set_experiment(name: str) -> str:
+    c = _client()
+    if c is not None:
+        exp = c.get_experiment_by_name(name)
+        exp_id = exp.experiment_id if exp else c.create_experiment(name)
+        _state["experiment_id"] = exp_id
+        return exp_id
     exps = _experiments()
     if name in exps:
         _state["experiment_id"] = exps[name]
@@ -95,9 +140,13 @@ def set_experiment(name: str) -> str:
 
 
 class Run:
-    """Handle to one tracked run; usable as a context manager."""
+    """Handle to one tracked run; usable as a context manager.
 
-    def __init__(self, run_id: str, experiment_id: str, path: Path):
+    ``path`` is None in remote mode (artifacts live on the server).
+    """
+
+    def __init__(self, run_id: str, experiment_id: str,
+                 path: Optional[Path]):
         self.run_id = run_id
         self.experiment_id = experiment_id
         self.path = path
@@ -131,6 +180,27 @@ def _run_dir(run_id: str) -> Path:
 def start_run(run_name: Optional[str] = None, tags: Optional[dict] = None,
               nested: bool = False, run_id: Optional[str] = None,
               experiment_id: Optional[str] = None) -> Run:
+    c = _client()
+    if c is not None:
+        if run_id is not None:
+            info = c.get_run(run_id).info
+            run = Run(run_id, info.experiment_id, None)
+            _state["stack"].append(run)
+            return run
+        exp_id = (experiment_id or _state["experiment_id"]
+                  or set_experiment("Default"))
+        all_tags = dict(tags or {})
+        if run_name:
+            all_tags.setdefault("mlflow.runName", run_name)
+        parent = _state["stack"][-1] if nested and _state["stack"] else None
+        if parent is not None:
+            all_tags.setdefault("mlflow.parentRunId", parent.run_id)
+        r = c.create_run(exp_id,
+                         tags={k: str(v) for k, v in all_tags.items()},
+                         run_name=run_name)
+        run = Run(r.info.run_id, exp_id, None)
+        _state["stack"].append(run)
+        return run
     if run_id is not None:  # resume existing
         path = _run_dir(run_id)
         run = Run(run_id, path.parent.name, path)
@@ -183,8 +253,11 @@ class attach_run:
         self.run_id = run_id
 
     def __enter__(self) -> Run:
-        path = _run_dir(self.run_id)
-        run = Run(self.run_id, path.parent.name, path)
+        if _client() is not None:
+            run = Run(self.run_id, "", None)
+        else:
+            path = _run_dir(self.run_id)
+            run = Run(self.run_id, path.parent.name, path)
         _state["stack"].append(run)
         return run
 
@@ -196,6 +269,10 @@ class attach_run:
 def end_run(status: str = "FINISHED") -> None:
     run = _state["stack"].pop() if _state["stack"] else None
     if run is None:
+        return
+    c = _client()
+    if c is not None:
+        c.set_terminated(run.run_id, status=status)
         return
     meta_path = run.path / "meta.yaml"
     meta = yaml.safe_load(meta_path.read_text())
@@ -213,12 +290,22 @@ def _require_run() -> Run:
 
 def log_params(params: dict) -> None:
     run = _require_run()
+    c = _client()
+    if c is not None:
+        for k, v in params.items():
+            c.log_param(run.run_id, str(k), v)
+        return
     for k, v in params.items():
         (run.path / "params" / str(k)).write_text(str(v))
 
 
 def log_metric(key: str, value, step: int = 0) -> None:
     run = _require_run()
+    c = _client()
+    if c is not None:
+        c.log_metric(run.run_id, str(key), float(value), timestamp=_ms(),
+                     step=int(step))
+        return
     with open(run.path / "metrics" / str(key), "a") as fh:
         fh.write(f"{_ms()} {float(value)} {int(step)}\n")
 
@@ -230,6 +317,15 @@ def log_metrics(metrics: dict, step: int = 0) -> None:
 
 def log_batch(run_id: str, metrics: List[tuple]) -> None:
     """Batched (key, value, step) logging — mirrors MlflowClient.log_batch."""
+    c = _client()
+    if c is not None:
+        from mlflow.entities import Metric
+
+        now = _ms()
+        ents = [Metric(str(k), float(v), now, int(s)) for k, v, s in metrics]
+        for i in range(0, len(ents), 1000):  # server batch-size limit
+            c.log_batch(run_id, metrics=ents[i:i + 1000])
+        return
     path = _run_dir(run_id)
     grouped: Dict[str, list] = {}
     for key, value, step in metrics:
@@ -243,11 +339,19 @@ def log_batch(run_id: str, metrics: List[tuple]) -> None:
 
 def set_tag(key: str, value) -> None:
     run = _require_run()
+    c = _client()
+    if c is not None:
+        c.set_tag(run.run_id, str(key), str(value))
+        return
     (run.path / "tags" / str(key)).write_text(str(value))
 
 
 def log_artifact(filepath, artifact_path: str = "") -> None:
     run = _require_run()
+    c = _client()
+    if c is not None:
+        c.log_artifact(run.run_id, str(filepath), artifact_path or None)
+        return
     dest = run.artifact_dir / artifact_path
     dest.mkdir(parents=True, exist_ok=True)
     shutil.copy2(str(filepath), dest / Path(filepath).name)
@@ -255,6 +359,10 @@ def log_artifact(filepath, artifact_path: str = "") -> None:
 
 def log_dict(data: dict, artifact_file: str) -> None:
     run = _require_run()
+    c = _client()
+    if c is not None:
+        c.log_dict(run.run_id, data, artifact_file)
+        return
     dest = run.artifact_dir / artifact_file
     dest.parent.mkdir(parents=True, exist_ok=True)
     if artifact_file.endswith((".yaml", ".yml")):
@@ -277,6 +385,10 @@ def log_table(rows, artifact_file: str) -> None:
                    "data": df.values.tolist()}
     except Exception:
         payload = {"rows": rows}
+    c = _client()
+    if c is not None:
+        c.log_dict(run.run_id, payload, artifact_file)
+        return
     dest = run.artifact_dir / artifact_file
     dest.parent.mkdir(parents=True, exist_ok=True)
     dest.write_text(json.dumps(payload, indent=2, default=str))
@@ -320,6 +432,40 @@ def search_runs(experiment_name: Optional[str] = None,
                 status: Optional[str] = None,
                 parent_run_id: Optional[str] = None) -> List[dict]:
     """Filter runs by experiment, exact param/tag values, status, parent."""
+    c = _client()
+    if c is not None:
+        if experiment_name is not None:
+            exp = c.get_experiment_by_name(experiment_name)
+            exp_ids = [exp.experiment_id] if exp else []
+        else:
+            exp_ids = [e.experiment_id for e in c.search_experiments()]
+        out = []
+        for r in c.search_runs(exp_ids, max_results=1000):
+            run = {
+                "run_id": r.info.run_id,
+                "experiment_id": r.info.experiment_id,
+                "run_name": r.info.run_name,
+                "status": r.info.status,
+                "start_time": r.info.start_time,
+                "params": dict(r.data.params),
+                "tags": dict(r.data.tags),
+                "metrics": dict(r.data.metrics),
+                "path": None,
+            }
+            if status and run["status"] != status:
+                continue
+            if params and any(run["params"].get(k) != str(v)
+                              for k, v in params.items()):
+                continue
+            if tags and any(run["tags"].get(k) != str(v)
+                            for k, v in tags.items()):
+                continue
+            if parent_run_id and run["tags"].get("mlflow.parentRunId") \
+                    != parent_run_id:
+                continue
+            out.append(run)
+        out.sort(key=lambda r: r.get("start_time") or 0, reverse=True)
+        return out
     exps = _experiments()
     if experiment_name is not None:
         exp_ids = [exps[experiment_name]] if experiment_name in exps else []
@@ -350,6 +496,11 @@ def search_runs(experiment_name: Optional[str] = None,
 
 def get_metric_history(run_id: str, key: str) -> List[tuple]:
     """[(step, value)] history for one metric."""
+    c = _client()
+    if c is not None:
+        rows = [(m.step, m.value) for m in c.get_metric_history(run_id, key)]
+        rows.sort(key=lambda r: r[0])
+        return rows
     path = _run_dir(run_id) / "metrics" / key
     if not path.exists():
         return []
@@ -363,9 +514,13 @@ def get_metric_history(run_id: str, key: str) -> List[tuple]:
 
 def download_artifacts(run_id: str, dst_dir) -> Path:
     """Copy a run's artifacts to dst_dir (API parity with mlflow download)."""
-    src = _run_dir(run_id) / "artifacts"
     dst = Path(dst_dir)
     dst.mkdir(parents=True, exist_ok=True)
+    m = _mlflow()
+    if m is not None:
+        m.artifacts.download_artifacts(run_id=run_id, dst_path=str(dst))
+        return dst
+    src = _run_dir(run_id) / "artifacts"
     if src.exists():
         shutil.copytree(src, dst, dirs_exist_ok=True)
     return dst

@@ -514,20 +514,50 @@ def run_optimization(overrides, interval_params):
     n_trials = int(optuna_cfg.get("n_trials", 15))
     parent_id = _get_or_create_parent(base)
 
-    for trial in range(n_trials):
-        params = sampler.ask()
-        trial_overrides = list(base_overrides) + [
-            f"{k}={v}" for k, v in params.items()]
-        cfg = C.compose(REPO_ROOT / "conf", trial_overrides)
-        log.info("=== optimization trial %d/%d: %s ===", trial + 1, n_trials,
-                 params)
-        try:
-            run_id, errors, solver = run_solver(cfg, parent_run_id=parent_id)
-            value = compute_objective(cfg, errors, solver)
-        except Exception as exc:
-            log.warning("Trial failed: %s", exc)
-            value = float("inf")
-        sampler.tell(params, value)
+    # Trials run in vmapped device batches of machine.batch_lanes (or
+    # optuna.batch_size) candidates per round — the ask/tell form SURVEY §7
+    # step 7 calls for (the reference only ran n_jobs process-parallel
+    # trials, conf/hydra/sweeper/optuna_corner.yaml:20-22). Candidates whose
+    # configs are not lane-batchable (e.g. a categorical N makes shapes
+    # differ) fall back to serial execution within the round.
+    batch_size = int(optuna_cfg.get("batch_size", 0)) \
+        or int(base.get("machine", {}).get("batch_lanes", 1))
+    batch_size = max(1, min(batch_size, n_trials))
+
+    done = 0
+    while done < n_trials:
+        k = min(batch_size, n_trials - done)
+        asks = sampler.ask_batch(k)
+        trials = []
+        for params in asks:
+            trial_overrides = list(base_overrides) + [
+                f"{key}={v}" for key, v in params.items()]
+            trials.append((params, C.compose(REPO_ROOT / "conf",
+                                             trial_overrides)))
+        log.info("=== optimization round: trials %d-%d/%d (%d lanes) ===",
+                 done + 1, done + k, n_trials, k)
+
+        cfgs = [cfg for _, cfg in trials]
+        values = None
+        if k >= 2 and _batchable(cfgs):
+            try:
+                values = run_multirun_batched(cfgs)
+            except Exception as exc:
+                log.warning("Batched trial round failed (%s); falling back "
+                            "to serial", exc)
+        if values is None:
+            values = []
+            for params, cfg in trials:
+                try:
+                    run_id, errors, solver = run_solver(
+                        cfg, parent_run_id=parent_id)
+                    values.append(compute_objective(cfg, errors, solver))
+                except Exception as exc:
+                    log.warning("Trial failed: %s", exc)
+                    values.append(float("inf"))
+        for (params, _cfg), value in zip(trials, values):
+            sampler.tell(params, value)
+        done += k
 
     best_params, best_value = sampler.best
     log.info("Best trial: %s -> %.6e", best_params, best_value)

@@ -322,3 +322,78 @@ class TestCommaValues:
         jobs = C.expand_multirun(CONF, ["solver=spectral/sg", "N=12",
                                         "Re=100,400"])
         assert [j["Re"] for j in jobs] == [100, 400]
+
+
+class TestRemoteTracking:
+    """Remote MLflow delegation (reference utilities/mlflow/io.py:8-33)."""
+
+    def _fake_mlflow(self):
+        import types
+        from unittest import mock
+
+        fake = types.ModuleType("mlflow")
+        client = mock.MagicMock()
+        exp = mock.MagicMock()
+        exp.experiment_id = "exp42"
+        client.get_experiment_by_name.return_value = exp
+        created = mock.MagicMock()
+        created.info.run_id = "remote-run-1"
+        client.create_run.return_value = created
+        fake.set_tracking_uri = mock.MagicMock()
+        fake.tracking = types.SimpleNamespace(
+            MlflowClient=mock.MagicMock(return_value=client))
+        fake.artifacts = types.SimpleNamespace(
+            download_artifacts=mock.MagicMock())
+        # mlflow.entities.Metric for log_batch
+        entities = types.ModuleType("mlflow.entities")
+        entities.Metric = lambda k, v, ts, s: (k, v, ts, s)
+        return fake, entities, client
+
+    def test_remote_uri_delegates_to_client(self, monkeypatch, tmp_path):
+        import sys
+
+        fake, entities, client = self._fake_mlflow()
+        monkeypatch.setitem(sys.modules, "mlflow", fake)
+        monkeypatch.setitem(sys.modules, "mlflow.entities", entities)
+        try:
+            T.set_tracking_uri("https://mlflow.example.com")
+            fake.set_tracking_uri.assert_called_with(
+                "https://mlflow.example.com")
+            assert T.set_experiment("LDC") == "exp42"
+            with T.start_run(run_name="r", tags={"solver": "fv"}) as run:
+                assert run.run_id == "remote-run-1"
+                T.log_params({"Re": 100})
+                T.log_metric("rel_iter", 1e-3, step=7)
+                T.set_tag("k", "v")
+                T.log_dict({"a": 1}, "config.yaml")
+                T.log_batch(run.run_id, [("e", 1.0, 0), ("e", 2.0, 1)])
+            client.create_run.assert_called_once()
+            _, kwargs = client.create_run.call_args
+            assert kwargs["tags"]["mlflow.runName"] == "r"
+            client.log_param.assert_called_with("remote-run-1", "Re", 100)
+            client.log_metric.assert_called()
+            client.set_tag.assert_any_call("remote-run-1", "k", "v")
+            client.log_dict.assert_called_with("remote-run-1", {"a": 1},
+                                               "config.yaml")
+            client.log_batch.assert_called_once()
+            client.set_terminated.assert_called_with("remote-run-1",
+                                                     status="FINISHED")
+        finally:
+            T.set_tracking_uri(tmp_path)  # restore file mode for other tests
+
+    def test_remote_uri_without_mlflow_raises(self, monkeypatch, tmp_path):
+        import builtins
+        import sys
+
+        monkeypatch.setitem(sys.modules, "mlflow", None)  # forces ImportError
+        with pytest.raises(RuntimeError, match="requires the mlflow"):
+            T.set_tracking_uri("https://mlflow.example.com")
+        T.set_tracking_uri(tmp_path)
+
+    def test_local_mode_unaffected(self, tmp_path):
+        T.set_tracking_uri(tmp_path)
+        T.set_experiment("local-exp")
+        with T.start_run(run_name="x") as run:
+            T.log_metric("m", 1.0)
+        runs = T.search_runs(experiment_name="local-exp")
+        assert len(runs) == 1 and runs[0]["metrics"]["m"] == 1.0
