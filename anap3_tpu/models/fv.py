@@ -155,6 +155,37 @@ def _solve_momentum(ops: FVOps, coeffs: st.MomentumCoeffs, rhs, phi_prev):
     return phi_star, coeffs.aP
 
 
+def _solve_momentum_uv(ops: FVOps, coeffs: st.MomentumCoeffs, rhs_u, rhs_v,
+                       u_prev, v_prev):
+    """Joint u/v momentum solve: ONE BiCGSTAB over the stacked (2, ny, nx)
+    system.
+
+    The u and v momentum matrices are IDENTICAL on the cavity (same face
+    fluxes and conductances; only the boundary source b differs —
+    convection_diffusion_matrix.py builds one stencil per component from the
+    same mdot), so both predictors solve A x = b with a block-diagonal A of
+    two equal blocks. One Krylov space over the stacked operator halves the
+    number of inner while_loop solves per SIMPLE iteration.
+    """
+    alpha = ops.alpha_uv
+    aP_rel = coeffs.aP / alpha
+    scale = (1.0 - alpha) / alpha
+    rhs = jnp.stack([rhs_u + scale * coeffs.aP * u_prev,
+                     rhs_v + scale * coeffs.aP * v_prev])
+
+    def A(phi):
+        return jax.vmap(lambda f: st.apply_momentum_operator(
+            coeffs, f, aP_override=aP_rel))(phi)
+
+    def M(phi):
+        return phi / aP_rel
+
+    x, _ = jax.scipy.sparse.linalg.bicgstab(
+        A, rhs, x0=jnp.stack([u_prev, v_prev]), tol=ops.lin_tol,
+        maxiter=1000, M=M)
+    return x[0], x[1], coeffs.aP
+
+
 def fv_step(ops: FVOps, state: FVState):
     """One SIMPLE iteration. Returns (new_state, metrics)."""
     u, v, p, mx, my = state
@@ -168,7 +199,8 @@ def fv_step(ops: FVOps, state: FVState):
     # neighbor values directly, so those gradients would be dead code.
     gpx, gpy = st.cell_gradient(p, dx, dy, use_limiter=False)
 
-    # momentum predictors
+    # momentum predictors: u and v share the SAME stencil (only the boundary
+    # source b differs), so both ride one joint BiCGSTAB solve
     cu = st.momentum_coefficients(mx, my, ops.mu, dx, dy,
                                   ops.zeros_x, ops.zeros_x,
                                   ops.zeros_y, ops.bc_u_n)
@@ -179,12 +211,11 @@ def fv_step(ops: FVOps, state: FVState):
     b_v = cv.b + st.deferred_correction(v, mx, my, ops.scheme, ops.limiter)
     rhs_u = b_u - gpx * vol
     rhs_v = b_v - gpy * vol
-    u_star, aP_u = _solve_momentum(ops, cu, rhs_u, u)
-    v_star, aP_v = _solve_momentum(ops, cv, rhs_v, v)
+    u_star, v_star, aP_uv = _solve_momentum_uv(ops, cu, rhs_u, rhs_v, u, v)
 
     # bold_D from the UNRELAXED diagonal (fv/solver.py:150-168, helpers.py:139-152)
-    Du = vol / (aP_u + 1e-14)
-    Dv = vol / (aP_v + 1e-14)
+    Du = vol / (aP_uv + 1e-14)
+    Dv = Du
 
     # Rhie-Chow face velocities -> mdot* (rhie_chow.py:5-159)
     ubar_x = st.face_average_x(u_star)

@@ -275,12 +275,23 @@ class FSGSolver(SGSolver):
 
     COARSEST_N = 12
 
+    def _coarsest_floor(self) -> int:
+        """Coarsest order: the reference's fixed 12 (fsg.py:489-543),
+        raised by the measured cell-Peclet bound at high Re — a
+        convection-under-resolved coarsest level diverges the cascade
+        (observed: N=24 at Re=3200, Pe=209, goes NaN; the reference never
+        ran multigrid past Re=1000)."""
+        from .spectral_vmg import default_coarsest_n
+
+        return max(self.COARSEST_N, default_coarsest_n(float(self.params.Re)))
+
     def _level_orders(self) -> list:
         orders = []
         n = int(self.params.nx)
+        floor = self._coarsest_floor()
         for _ in range(int(self.params.n_levels)):
             orders.append(n)
-            if n // 2 < self.COARSEST_N:
+            if n // 2 < floor:
                 break
             n = n // 2
         return orders[::-1]  # coarsest first

@@ -77,11 +77,14 @@ class VmgLevel:
 
 
 # Calibration of the cell-Peclet safeguards (measured on the v5e, f32):
-# N=12 at Re=1000 (Pe=131) diverges even with damping 0.6; N=24 at Re=1000
-# (Pe=65) is stable with 0.6; N=12 at Re=100 (Pe=13) takes full-strength
-# corrections. The thresholds below reproduce those observations while
-# responding to the actual coarse-grid resolution instead of raw Re buckets.
-PE_COARSEST_MAX = 70.0      # coarsest level must have Pe <= this
+# STABLE:    N=24 at Re=1000 (Pe=65, VMG damping 0.6); N=48 at Re=3200
+#            (Pe=105, FSG cascade, converged to 1e-6);
+# DIVERGENT: N=12 at Re=1000 (Pe=131, VMG even with damping 0.6); N=24 at
+#            Re=3200 (Pe=209, FSG goes NaN);
+# N=12 at Re=100 (Pe=13) takes full-strength corrections. The thresholds
+# below bracket those observations while responding to the actual
+# coarse-grid resolution instead of raw Re buckets.
+PE_COARSEST_MAX = 110.0     # coarsest level must have Pe <= this
 PE_FULL_CORRECTION = 15.0   # undamped corrections below this
 
 
@@ -107,16 +110,20 @@ def correction_damping(Re: float, coarsest_n: int) -> float:
 
 
 def build_fused_tau_steps(solver, levels) -> dict | None:
-    """FAS-forced fused kernels per level (the fast smoothing path)."""
+    """FAS-forced fused kernels per level (the fast smoothing path).
+
+    ALWAYS x6 (full f32 matmul accuracy): the FAS tau cancellation requires
+    the smoother's residual operator to match the defect operator (computed
+    at XLA HIGHEST). With x3 smoothing the ~1.4e-5 operator mismatch keeps
+    injecting noise every cycle and the outer fixed point never reaches
+    1e-6 (measured: VMG N=96 Re=1000 ran 500k cycles without converging,
+    vs 5.4k cycles with consistent operators).
+    """
     if not solver._pallas_enabled():
         return None
     from ..ops.pallas_tiled import MAX_TILED_N, make_tiled_sg_step
 
-    alg = str(getattr(solver.params, "matmul_algorithm", "auto") or
-              "auto").lower()
-    if alg == "auto":
-        alg = "x3"
-    return {i: make_tiled_sg_step(lv.ops, algorithm=alg, with_tau=True)
+    return {i: make_tiled_sg_step(lv.ops, algorithm="x6", with_tau=True)
             for i, lv in enumerate(levels) if lv.n <= MAX_TILED_N}
 
 
