@@ -349,8 +349,15 @@ class FVSolver(CavitySolver):
         max_iter = self.params.max_iterations if max_iter is None else max_iter
         ops = self.ops
 
-        def step(state):
-            return fv_step(ops, state)
+        if self._pallas_enabled():
+            from ..ops.pallas_fv import make_pallas_fv_step
+
+            step = make_pallas_fv_step(
+                self.params, ops,
+                bicgstab_iters=int(self.params.fv_inner_iters))
+        else:
+            def step(state):
+                return fv_step(ops, state)
 
         ckpt_mgr, start_iter = None, 0
         if self.params.checkpoint_dir:
@@ -386,6 +393,26 @@ class FVSolver(CavitySolver):
                 else float("nan"), tol, result.iterations)
         self.state = result.state
         self._store_results(result)
+
+    def _pallas_enabled(self) -> bool:
+        flag = getattr(self.params, "use_pallas", "auto")
+        if isinstance(flag, bool):
+            enabled = flag
+        elif str(flag).lower() in ("true", "1", "yes"):
+            enabled = True
+        elif str(flag).lower() in ("false", "0", "no"):
+            enabled = False
+        else:  # auto
+            from ..ops.pallas_fv import MAX_FV_FUSED_N
+
+            enabled = (jax.default_backend() == "tpu"
+                       and self.params.dtype == "float32"
+                       and max(int(self.params.nx),
+                               int(self.params.ny)) <= MAX_FV_FUSED_N
+                       and str(self.ops.rhie_chow) == "compact"
+                       and str(self.ops.limiter or "").lower()
+                       != "muscl-sharp")
+        return enabled
 
     # -- field plumbing --------------------------------------------------
 

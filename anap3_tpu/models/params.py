@@ -98,6 +98,13 @@ class FVParameters(Parameters):
     method: str = "FV-SIMPLE"
     corner_treatment: str = "none"
     corner_smoothing: float = 0.15
+    # Fused Pallas SIMPLE-step kernel (ops/pallas_fv.py): "auto" uses it on
+    # TPU float32 for N <= 256 with the default scheme options. The fused
+    # kernel runs a FIXED number of inner BiCGSTAB iterations
+    # (fv_inner_iters, warm-started) instead of a tolerance test — the
+    # reference itself tolerates non-converged momentum solves.
+    use_pallas: str = "auto"
+    fv_inner_iters: int = 16
     # TPU-specific: "compact" uses the proper Rhie-Chow face pressure gradient
     # (p_N - p_P)/d; "averaged" reproduces the reference formulation, whose
     # face-gradient correction cancels identically (rhie_chow.py:33-60 both

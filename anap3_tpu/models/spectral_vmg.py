@@ -109,6 +109,27 @@ def correction_damping(Re: float, coarsest_n: int) -> float:
     return 1.0 if cell_peclet(Re, coarsest_n) <= PE_FULL_CORRECTION else 0.6
 
 
+def _warn_if_damped_bias(damping: float, params) -> None:
+    """Measured limitation of the damped FAS cycle (round-2 study).
+
+    When the coarse grids under-resolve convection, UNDAMPED corrections
+    diverge (Re=1000 N=96: NaN within 24 cycles) while DAMPED corrections
+    converge to a measurably biased state (energy +22% vs the SG/FSG
+    solution; bias persists across 2-level hierarchies, nu_coarse=120,
+    nu=6/6, damping 0.3-0.6, and float64 — it is a property of the damped
+    cycle's attractor, not of precision). The true solution IS a fixed
+    point of the cycle, but the cold-start basin leads elsewhere. Use FSG
+    for production runs in this regime; VMG/FMG match SG where undamped
+    corrections are stable (coarsest-level cell Peclet <= 15).
+    """
+    if damping < 1.0:
+        log.warning(
+            "VMG/FMG with damped corrections (Re=%g, damping=%.1f) converges "
+            "to a BIASED state in the convection-dominated regime (measured "
+            "+22%% energy at Re=1000); prefer solver=spectral/fsg here.",
+            float(params.Re), damping)
+
+
 def build_fused_tau_steps(solver, levels) -> dict | None:
     """FAS-forced fused kernels per level (the fast smoothing path).
 
@@ -280,6 +301,7 @@ class VMGSolver(SGSolver):
         log.info("VMG hierarchy: N = %s (coarsest Pe=%.0f, damping=%.1f)",
                  [lv.n for lv in levels],
                  cell_peclet(float(self.params.Re), levels[-1].n), damping)
+        _warn_if_damped_bias(damping, self.params)
         v_cycle = make_v_cycle(levels, self.NU1, self.NU2, self.NU_COARSE,
                                damping=damping,
                                fused_steps=self._fused_steps(levels))
@@ -312,6 +334,9 @@ class FMGSolver(SGSolver):
         levels = build_vmg_levels(self.params)  # fine -> coarse
         coarse_to_fine = levels[::-1]
         log.info("FMG hierarchy: N = %s", [lv.n for lv in coarse_to_fine])
+        _warn_if_damped_bias(
+            correction_damping(float(self.params.Re), levels[-1].n),
+            self.params)
 
         t0 = time.time()
         total_iters = 0

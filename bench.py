@@ -206,11 +206,31 @@ def bench_fv() -> dict:
 
     CHUNK = 50
 
+    # production TPU path: the fused SIMPLE-step kernel (ops/pallas_fv.py);
+    # XLA step elsewhere
+    step_kind = "pallas-fused"
+    try:
+        from anap3_tpu.ops.pallas_fv import make_pallas_fv_step
+
+        if params.dtype != "float32" or jax.default_backend() != "tpu":
+            raise ValueError("fused FV kernel is the TPU float32 path")
+        fstep = make_pallas_fv_step(params, ops,
+                                    bicgstab_iters=params.fv_inner_iters)
+
+        def one(s):
+            s2, _m = fstep(s)
+            return s2
+    except Exception:
+        step_kind = "xla"
+
+        def one(s):
+            s2, _m = fv_step(ops, s)
+            return s2
+
     @jax.jit
     def run_chunk(state):
         def body(s, _):
-            s, _m = fv_step(ops, s)
-            return s, ()
+            return one(s), ()
         s, _ = jax.lax.scan(body, state, None, length=CHUNK)
         return s
 
@@ -230,6 +250,7 @@ def bench_fv() -> dict:
     rate = n_calls * CHUNK / (time.time() - t0)
     return {
         "fv_N128_simple_iters_per_sec": round(rate, 1),
+        "fv_step_kind": step_kind,
         "fv_dtype": params.dtype,
         "fv_compile_seconds": round(compile_s, 2),
         "fv_vs_cpu_f64": round(rate / 237.0, 2),

@@ -222,3 +222,75 @@ class TestFloat32Mode:
         assert resolve_dtype("float32") == "float32"
         s = FVSolver(params=make_params(dtype="auto", max_iterations=1))
         assert s.params.dtype == expected
+
+
+class TestFusedFVStep:
+    """Interpret-mode parity for the fused Pallas SIMPLE kernel."""
+
+    def _mk(self, **over):
+        base = dict(nx=16, ny=16, dtype="float32")
+        base.update(over)
+        return make_params(**base)
+
+    def test_matches_xla_step(self):
+        from anap3_tpu.ops.pallas_fv import make_pallas_fv_step
+
+        p = self._mk()
+        ops, _ = build_fv_ops(p)
+        s = FVState(u=jnp.zeros((16, 16), jnp.float32),
+                    v=jnp.zeros((16, 16), jnp.float32),
+                    p=jnp.zeros((16, 16), jnp.float32),
+                    mx=jnp.zeros((16, 15), jnp.float32),
+                    my=jnp.zeros((15, 16), jnp.float32))
+        # enough inner iterations to mimic the tolerance-based solve
+        step_k = make_pallas_fv_step(p, ops, bicgstab_iters=60,
+                                     interpret=True)
+        s_r, s_k = s, s
+        for _ in range(5):
+            s_r, m_r = fv_step(ops, s_r)
+            s_k, m_k = step_k(s_k)
+        assert float(jnp.max(jnp.abs(s_r.u - s_k.u))) < 1e-5
+        assert float(jnp.max(jnp.abs(s_r.p - s_k.p))) < 1e-6
+        assert float(jnp.max(jnp.abs(s_r.mx - s_k.mx))) < 1e-6
+        for key in ("u_eq", "continuity", "energy", "enstrophy",
+                    "palinstrophy"):
+            np.testing.assert_allclose(float(m_k[key]), float(m_r[key]),
+                                       rtol=1e-3)
+
+    def test_fused_solver_converges_like_xla(self):
+        """Full solve through the fused kernel matches the XLA solve."""
+        from anap3_tpu.ops.pallas_fv import make_pallas_fv_step
+        from anap3_tpu.models.runner import run_fixed_point
+
+        p = self._mk(tolerance=1e-5, max_iterations=6000)
+        ops, _ = build_fv_ops(p)
+        s0 = FVState(u=jnp.zeros((16, 16), jnp.float32),
+                     v=jnp.zeros((16, 16), jnp.float32),
+                     p=jnp.zeros((16, 16), jnp.float32),
+                     mx=jnp.zeros((16, 15), jnp.float32),
+                     my=jnp.zeros((15, 16), jnp.float32))
+        fstep = make_pallas_fv_step(p, ops, bicgstab_iters=16,
+                                    interpret=True)
+        res_k = run_fixed_point(fstep, lambda s: (s.u, s.v), s0,
+                                tolerance=1e-5, max_iterations=6000,
+                                chunk=200)
+        res_r = run_fixed_point(lambda s: fv_step(ops, s),
+                                lambda s: (s.u, s.v), s0,
+                                tolerance=1e-5, max_iterations=6000,
+                                chunk=200)
+        assert res_k.converged and res_r.converged
+        np.testing.assert_allclose(np.asarray(res_k.state.u),
+                                   np.asarray(res_r.state.u),
+                                   atol=2e-4)
+
+    def test_unsupported_configs_rejected(self):
+        from anap3_tpu.ops.pallas_fv import make_pallas_fv_step
+
+        p = self._mk(limiter="MUSCL-sharp")
+        ops, _ = build_fv_ops(p)
+        with pytest.raises(ValueError, match="MUSCL-sharp"):
+            make_pallas_fv_step(p, ops, interpret=True)
+        p2 = self._mk(rhie_chow="averaged")
+        ops2, _ = build_fv_ops(p2)
+        with pytest.raises(ValueError, match="compact"):
+            make_pallas_fv_step(p2, ops2, interpret=True)
