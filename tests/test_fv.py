@@ -294,3 +294,34 @@ class TestFusedFVStep:
         ops2, _ = build_fv_ops(p2)
         with pytest.raises(ValueError, match="compact"):
             make_pallas_fv_step(p2, ops2, interpret=True)
+
+
+class TestFusedFVChunkRunner:
+    def test_matches_scan_runner(self):
+        from anap3_tpu.ops.pallas_fv import make_pallas_fv_chunk_runner
+        from anap3_tpu.models.runner import make_chunk_runner
+
+        p = make_params(nx=16, ny=16, dtype="float32")
+        ops, _ = build_fv_ops(p)
+        z = jnp.zeros
+        s0 = FVState(u=z((16, 16), jnp.float32), v=z((16, 16), jnp.float32),
+                     p=z((16, 16), jnp.float32), mx=z((16, 15), jnp.float32),
+                     my=z((15, 16), jnp.float32))
+        CH, TOL = 30, 1e-4
+        from anap3_tpu.ops.pallas_fv import make_pallas_fv_step
+
+        fstep = make_pallas_fv_step(p, ops, bicgstab_iters=16, interpret=True)
+        ref = make_chunk_runner(fstep, lambda s: (s.u, s.v), CH, TOL, 10)
+        fused = make_pallas_fv_chunk_runner(p, ops, CH, TOL, 10,
+                                            bicgstab_iters=16, interpret=True)
+        rn = jnp.asarray(jnp.inf, jnp.float32)
+        sr, sf = s0, s0
+        for c in range(2):
+            sr, dr, cir, cvr, rowsr, _ = ref(sr, jnp.int32(c * CH), rn)
+            sf, df, cif, cvf, rowsf, _ = fused(sf, jnp.int32(c * CH), rn)
+            assert bool(dr) == bool(df)
+            assert int(cir) == int(cif)
+            np.testing.assert_allclose(np.asarray(sf.u), np.asarray(sr.u),
+                                       atol=1e-6)
+            np.testing.assert_allclose(np.asarray(rowsf)[:, 0],
+                                       np.asarray(rowsr)[:, 0], rtol=1e-4)
