@@ -147,3 +147,35 @@ class TestFMGDivergenceReporting:
             convergence_metric="residual"))
         solver.solve()
         assert seen and all(m == "residual" for m in seen)
+
+
+class TestDampedBiasGuard:
+    def test_pe_criterion_values(self):
+        from anap3_tpu.models.spectral_vmg import (cell_peclet,
+                                                   correction_damping,
+                                                   default_coarsest_n)
+
+        assert cell_peclet(1000.0, 24) == pytest.approx(65.4, abs=0.1)
+        assert default_coarsest_n(100.0) == 12
+        assert default_coarsest_n(1000.0) == 15
+        assert default_coarsest_n(3200.0) == 46
+        assert correction_damping(100.0, 12) == 1.0   # Pe=13 <= 15
+        assert correction_damping(1000.0, 24) == 0.6  # Pe=65
+
+    def test_warning_fires_in_damped_regime(self, caplog):
+        import logging
+
+        solver = VMGSolver(params=make_params(Re=1000.0, nx=24, ny=24,
+                                              max_iterations=40))
+        with caplog.at_level(logging.WARNING):
+            solver.solve()
+        assert any("BIASED" in r.message for r in caplog.records)
+
+    def test_no_warning_in_valid_regime(self, caplog):
+        import logging
+
+        solver = VMGSolver(params=make_params(Re=100.0, nx=24, ny=24,
+                                              max_iterations=40))
+        with caplog.at_level(logging.WARNING):
+            solver.solve()
+        assert not any("BIASED" in r.message for r in caplog.records)
