@@ -258,6 +258,48 @@ def bench_fv() -> dict:
     }
 
 
+def bench_stretch(n: int = 256) -> dict:
+    """Stretch config (BASELINE "configs"): spectral N=256 Re=10000 saad lid.
+
+    Round-1 XLA fallback measured 6,792 steps/s; the tiled x3 kernel is the
+    round-2 path.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from anap3_tpu.models.params import SpectralParameters
+    from anap3_tpu.models import spectral_sg as core
+    from anap3_tpu.ops.pallas_tiled import make_tiled_chunk_runner
+
+    params = SpectralParameters(
+        name="spectral", Re=10000.0, nx=n, ny=n, basis_type="chebyshev",
+        CFL=1.5, beta_squared=5.0, corner_treatment="saad", dtype="float32")
+    ops, _ = core.build_spectral_ops(params)
+    state = core.initial_state(ops)
+    CH = 2000
+    runner = make_tiled_chunk_runner(ops, CH, 1e-12, 10, algorithm="x3")
+    ref = jnp.asarray(jnp.inf, jnp.float32)
+    t0 = time.time()
+    state, *_ = runner(state, jnp.int32(0), ref)
+    jax.block_until_ready(state.u)
+    compile_s = time.time() - t0
+    n_calls, it = 0, CH
+    t0 = time.time()
+    while time.time() - t0 < TARGET_SECONDS:
+        state, *_ = runner(state, jnp.int32(it), ref)
+        it += CH
+        n_calls += 1
+        if n_calls % 4 == 0:
+            jax.block_until_ready(state.u)
+    jax.block_until_ready(state.u)
+    rate = n_calls * CH / (time.time() - t0)
+    return {
+        f"spectral_N{n}_steps_per_sec": round(rate, 1),
+        f"spectral_N{n}_vs_r1_xla": round(rate / 6792.0, 2),
+        f"spectral_N{n}_compile_seconds": round(compile_s, 2),
+    }
+
+
 def main():
     rate, extras = bench_device()
     ref_rate = bench_numpy_reference()
@@ -265,6 +307,10 @@ def main():
         fv_extras = bench_fv()
     except Exception as exc:  # FV bench must not kill the primary metric
         fv_extras = {"fv_error": repr(exc)[:200]}
+    try:
+        fv_extras.update(bench_stretch())
+    except Exception as exc:
+        fv_extras["stretch_error"] = repr(exc)[:200]
     result = {
         "metric": f"spectral_N{N}_rk4_timesteps_per_sec",
         "value": round(rate, 1),
