@@ -350,24 +350,34 @@ class FVSolver(CavitySolver):
         ops = self.ops
 
         chunk_runner = None
+        step = None
         if self._pallas_enabled():
-            from ..ops.pallas_fv import (make_pallas_fv_chunk_runner,
-                                         make_pallas_fv_step)
+            try:
+                from ..ops.pallas_fv import (make_pallas_fv_chunk_runner,
+                                             make_pallas_fv_step)
 
-            step = make_pallas_fv_step(
-                self.params, ops,
-                bicgstab_iters=int(self.params.fv_inner_iters))
-            if self.params.convergence_metric == "rel_iter":
-                # whole chunks of SIMPLE iterations + the convergence state
-                # machine in one kernel launch (same tier as the spectral
-                # pallas_chunk path)
-                def chunk_runner(chunk):
-                    from ..models.runner import WARMUP_ITERS
+                step = make_pallas_fv_step(
+                    self.params, ops,
+                    bicgstab_iters=int(self.params.fv_inner_iters))
+                if self.params.convergence_metric == "rel_iter":
+                    # whole chunks of SIMPLE iterations + the convergence
+                    # state machine in one kernel launch (same tier as the
+                    # spectral pallas_chunk path)
+                    def chunk_runner(chunk):
+                        from ..models.runner import WARMUP_ITERS
 
-                    return make_pallas_fv_chunk_runner(
-                        self.params, ops, chunk, tol, WARMUP_ITERS,
-                        bicgstab_iters=int(self.params.fv_inner_iters))
-        else:
+                        return make_pallas_fv_chunk_runner(
+                            self.params, ops, chunk, tol, WARMUP_ITERS,
+                            bicgstab_iters=int(self.params.fv_inner_iters))
+            except ValueError as exc:
+                # explicit use_pallas=true on an unsupported configuration
+                # (N > 256, averaged Rhie-Chow, sharp limiter): degrade to
+                # the XLA step like the spectral path does
+                log.warning("Fused FV kernel unavailable (%s); using the "
+                            "XLA step", exc)
+                step = None
+                chunk_runner = None
+        if step is None:
             def step(state):
                 return fv_step(ops, state)
 
@@ -425,6 +435,14 @@ class FVSolver(CavitySolver):
                        and str(self.ops.rhie_chow) == "compact"
                        and str(self.ops.limiter or "").lower()
                        != "muscl-sharp")
+        if enabled and (jax.default_backend() != "tpu"
+                        or self.params.dtype != "float32"):
+            # the kernel is a TPU float32 program; forcing it elsewhere
+            # would fail at first trace (or silently demote f64 state)
+            log.warning("use_pallas requires a TPU float32 solve (backend="
+                        "%s, dtype=%s); using the XLA step",
+                        jax.default_backend(), self.params.dtype)
+            return False
         return enabled
 
     # -- field plumbing --------------------------------------------------

@@ -78,6 +78,11 @@ class SGSolver(CavitySolver):
     """Single-grid PN-PN-2 artificial-compressibility solver (reference sg.py)."""
 
     Parameters = SpectralParameters
+    # Tensor-parallel (machine.mesh_axes=[x]) single-solve sharding is only
+    # implemented for the single-grid solve loop; the multigrid subclasses
+    # override solve() without the sharded dispatch and must opt out so the
+    # driver does not claim sharding it will not get.
+    SUPPORTS_SPATIAL_MESH = True
 
     def __init__(self, params=None, **kwargs):
         super().__init__(params=params, **kwargs)
@@ -132,9 +137,22 @@ class SGSolver(CavitySolver):
             start_iteration=start_iter,
             convergence_metric=self.params.convergence_metric,
             chunk_runner=chunk_runner,
+            stall_chunks=self._stall_chunks(),
         )
+        if result.stalled:
+            log.warning(
+                "Convergence stalled above tolerance %.1e after %d "
+                "iterations (float32 criterion floor); stopping with the "
+                "best attainable state.", tol, result.iterations)
         self.state = result.state
         self._store_results(result)
+
+    def _stall_chunks(self) -> int:
+        """Plateau detection: explicit values honored; auto (-1) = off for
+        spectral solves (multigrid / convergence_metric=residual are the
+        recommended float32 remedies here, params.py stall_chunks docs)."""
+        sc = int(self.params.stall_chunks)
+        return sc if sc > 0 else 0
 
     def _solve_sharded(self, tol: float, max_iter: int) -> None:
         """Tensor-parallel solve: rows sharded over self.spatial_mesh["x"].
@@ -167,6 +185,19 @@ class SGSolver(CavitySolver):
         u = self.state.u.astype(dtype)
         v = self.state.v.astype(dtype)
         p_pad = spatial.pad_pressure(self.state.p.astype(dtype))
+
+        ckpt_mgr, start_iter = None, 0
+        if self.params.checkpoint_dir:
+            from ..utils.checkpoint import CheckpointManager
+
+            ckpt_mgr = CheckpointManager(
+                self.params.checkpoint_dir, self.params,
+                every_chunks=self.params.checkpoint_every_chunks)
+            (u, v, p_pad), start_iter = ckpt_mgr.restore_or((u, v, p_pad))
+            if start_iter:
+                log.info("Resumed sharded solve from checkpoint at "
+                         "iteration %d", start_iter)
+
         u, v, p_pad = spatial.shard_state(mesh, (u, v, p_pad))
 
         def runner_factory(chunk):
@@ -179,8 +210,11 @@ class SGSolver(CavitySolver):
             tolerance=tol, max_iterations=max_iter,
             chunk=self.params.chunk_size,
             log_callback=self._log_callback,
+            checkpoint_mgr=ckpt_mgr,
+            start_iteration=start_iter,
             convergence_metric=self.params.convergence_metric,
             chunk_runner=runner_factory,
+            stall_chunks=self._stall_chunks(),
         )
         u, v, p_pad = result.state
         self.state = core.SpectralState(
@@ -274,6 +308,7 @@ class FSGSolver(SGSolver):
     """Full-single-grid nested-iteration multigrid spectral solver."""
 
     COARSEST_N = 12
+    SUPPORTS_SPATIAL_MESH = False  # level solves run unsharded
 
     def _coarsest_floor(self) -> int:
         """Coarsest order: the reference's fixed 12 (fsg.py:489-543),

@@ -289,6 +289,7 @@ class VMGSolver(SGSolver):
     NU1 = 2
     NU2 = 2
     NU_COARSE = 30
+    SUPPORTS_SPATIAL_MESH = False
 
     def _fused_steps(self, levels) -> dict | None:
         return build_fused_tau_steps(self, levels)
@@ -325,6 +326,7 @@ class FMGSolver(SGSolver):
     NU1 = 2
     NU2 = 2
     NU_COARSE = 30
+    SUPPORTS_SPATIAL_MESH = False
 
     def solve(self, tolerance: float = None, max_iter: int = None) -> None:
         import time

@@ -113,6 +113,7 @@ class CheckpointManager:
     RUN_CONTROL_KEYS = frozenset({
         "max_iterations", "tolerance", "chunk_size", "checkpoint_dir",
         "checkpoint_every_chunks", "use_pallas", "convergence_metric",
+        "stall_chunks", "matmul_algorithm",
     })
 
     def __init__(self, directory, params=None, every_chunks: int = 10,

@@ -22,8 +22,8 @@ def enable_compile_cache(cache_dir=None) -> None:
 
     if cache_dir is None:
         cache_dir = Path(__file__).resolve().parents[2] / ".jax_cache"
-    Path(cache_dir).mkdir(parents=True, exist_ok=True)
     try:
+        Path(cache_dir).mkdir(parents=True, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", str(cache_dir))
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
         _enabled = True

@@ -440,7 +440,15 @@ def search_runs(experiment_name: Optional[str] = None,
         else:
             exp_ids = [e.experiment_id for e in c.search_experiments()]
         out = []
-        for r in c.search_runs(exp_ids, max_results=1000):
+        runs = []
+        token = None
+        while True:  # page through: a >1000-run experiment must not hide
+            page = c.search_runs(exp_ids, max_results=1000, page_token=token)
+            runs.extend(page)
+            token = getattr(page, "token", None)
+            if not token:
+                break
+        for r in runs:
             run = {
                 "run_id": r.info.run_id,
                 "experiment_id": r.info.experiment_id,

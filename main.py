@@ -201,7 +201,7 @@ def run_solver(cfg: dict, parent_run_id: str | None = None):
                      "parent_run_id": parent_run_id, "sweep": "child"})
 
     # tensor-parallel single-solve sharding (machine.mesh_axes: [x])
-    if hasattr(solver, "spatial_mesh"):
+    if getattr(solver, "SUPPORTS_SPATIAL_MESH", False):
         from anap3_tpu.parallel.spatial import spatial_mesh_from_config
 
         mesh = spatial_mesh_from_config(cfg.get("machine", {}),
@@ -210,6 +210,9 @@ def run_solver(cfg: dict, parent_run_id: str | None = None):
             solver.spatial_mesh = mesh
             log.info("Spatial sharding: %d devices on the x axis",
                      mesh.devices.size)
+    elif "x" in (cfg.get("machine", {}).get("mesh_axes") or []):
+        log.info("machine.mesh_axes=[x] requested but %s does not support "
+                 "spatial sharding; running unsharded", solver_name)
 
     with T.start_run(run_name=run_name, tags=tags) as run:
         T.log_params(solver.params.to_mlflow())
@@ -543,8 +546,12 @@ def run_optimization(overrides, interval_params):
             try:
                 values = run_multirun_batched(cfgs)
             except Exception as exc:
-                log.warning("Batched trial round failed (%s); falling back "
-                            "to serial", exc)
+                # Do NOT re-run serially: the batch may have already logged
+                # some lanes' child runs, and a rerun would duplicate them
+                # under the parent. Tell the sampler the round failed.
+                log.warning("Batched trial round failed (%s); recording the "
+                            "round's trials as failed (inf)", exc)
+                values = [float("inf")] * k
         if values is None:
             values = []
             for params, cfg in trials:

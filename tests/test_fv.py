@@ -325,3 +325,41 @@ class TestFusedFVChunkRunner:
                                        atol=1e-6)
             np.testing.assert_allclose(np.asarray(rowsf)[:, 0],
                                        np.asarray(rowsr)[:, 0], rtol=1e-4)
+
+
+class TestPallasFallbacks:
+    def test_explicit_true_on_cpu_falls_back(self, caplog):
+        """Forcing use_pallas on a non-TPU/f64 config degrades to XLA."""
+        import logging
+
+        s = FVSolver(params=make_params(nx=12, ny=12, dtype="float32",
+                                        use_pallas="true", tolerance=1e-3,
+                                        max_iterations=500))
+        with caplog.at_level(logging.WARNING):
+            s.solve()  # must not crash (CPU backend in tests)
+        assert any("XLA step" in r.message for r in caplog.records)
+
+    def test_spatial_mesh_support_flags(self):
+        from anap3_tpu.models.spectral import FSGSolver, SGSolver
+        from anap3_tpu.models.spectral_vmg import FMGSolver, VMGSolver
+
+        assert SGSolver.SUPPORTS_SPATIAL_MESH
+        assert not FSGSolver.SUPPORTS_SPATIAL_MESH
+        assert not VMGSolver.SUPPORTS_SPATIAL_MESH
+        assert not FMGSolver.SUPPORTS_SPATIAL_MESH
+
+    def test_stall_chunks_resume_allowed(self, tmp_path):
+        """Changing stall_chunks is run-control: resume must be allowed."""
+        from anap3_tpu.utils.checkpoint import CheckpointManager
+        from anap3_tpu.models import spectral_sg as core
+        from anap3_tpu.models.params import SpectralParameters
+
+        p1 = SpectralParameters(nx=12, ny=12, stall_chunks=-1)
+        p2 = SpectralParameters(nx=12, ny=12, stall_chunks=50)
+        ops, _ = core.build_spectral_ops(p1)
+        state = core.initial_state(ops)
+        CheckpointManager(tmp_path, params=p1, every_chunks=1).maybe_save(
+            state, 10)
+        _, it = CheckpointManager(tmp_path, params=p2,
+                                  every_chunks=1).restore_or(state)
+        assert it == 10
