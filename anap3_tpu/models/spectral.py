@@ -59,16 +59,19 @@ def make_fused_paths(ops, params, tol):
 
     n = int(ops.bc_u.shape[0]) - 1  # this level's order (FSG levels differ)
     alg = str(getattr(params, "matmul_algorithm", "auto") or "auto").lower()
+    metric = str(getattr(params, "convergence_metric", "rel_iter"))
     if alg == "auto":
         alg = "x3"
     if alg == "x6" and n <= MAX_FUSED_N:
         step = make_pallas_sg_step(ops)
-        factory = lambda chunk: make_pallas_chunk_runner(
-            ops, chunk, tol, WARMUP_ITERS)
+        # the untiled chunk kernel implements rel_iter only
+        factory = (lambda chunk: make_pallas_chunk_runner(
+            ops, chunk, tol, WARMUP_ITERS)) if metric == "rel_iter" else None
     elif n <= MAX_TILED_N:
         step = make_tiled_sg_step(ops, algorithm=alg)
         factory = lambda chunk: make_tiled_chunk_runner(
-            ops, chunk, tol, WARMUP_ITERS, algorithm=alg)
+            ops, chunk, tol, WARMUP_ITERS, algorithm=alg,
+            convergence_metric=metric)
     else:
         return None, None
     return step, factory
@@ -105,11 +108,10 @@ class SGSolver(CavitySolver):
         chunk_runner = None
         step = None
         if self._pallas_enabled():
-            step, factory = make_fused_paths(ops, self.params, tol)
-            if step is not None and self.params.convergence_metric == "rel_iter":
-                # whole chunks fused into single kernels (in-kernel stepping
-                # + convergence state machine)
-                chunk_runner = factory
+            # whole chunks fused into single kernels (in-kernel stepping +
+            # convergence state machine); factory is None when the selected
+            # kernel tier does not support the configured metric
+            step, chunk_runner = make_fused_paths(ops, self.params, tol)
         if step is None:
             def step(state):
                 return core.sg_step(ops, state)
@@ -362,10 +364,8 @@ class FSGSolver(SGSolver):
             chunk_runner = None
             step = None
             if self._pallas_enabled():
-                step, factory = make_fused_paths(ops, self.params, level_tol)
-                if (step is not None
-                        and self.params.convergence_metric == "rel_iter"):
-                    chunk_runner = factory
+                step, chunk_runner = make_fused_paths(ops, self.params,
+                                                      level_tol)
             if step is None:
                 def step(s, _ops=ops):
                     return core.sg_step(_ops, s)

@@ -383,10 +383,17 @@ def make_tiled_sg_step(ops: SpectralOps, interpret: bool = False,
 
 def make_tiled_chunk_runner(ops: SpectralOps, chunk: int, tolerance: float,
                             warmup: int, interpret: bool = False,
-                            blk: int | None = None, algorithm: str = "x3"):
+                            blk: int | None = None, algorithm: str = "x3",
+                            convergence_metric: str = "rel_iter"):
     """Drop-in for runner.make_chunk_runner at large N: K tiled steps plus
     the convergence state machine inside ONE kernel launch (same contract as
-    ops/pallas_chunk.make_pallas_chunk_runner, rel_iter mode)."""
+    ops/pallas_chunk.make_pallas_chunk_runner).
+
+    Supports both criteria of models/runner.py: "rel_iter" (reference
+    semantics) and "residual" (continuity reduction relative to the warmup
+    iteration — the f32 high-Re remedy; ref_norm rides the SMEM scalar I/O).
+    """
+    use_residual = convergence_metric == "residual"
     mats, scal, nf, ni, nfp = _pad_ops(ops, blk, algorithm)
     _check_order(nf)
     blk = nfp if blk is None else blk
@@ -397,8 +404,8 @@ def make_tiled_chunk_runner(ops: SpectralOps, chunk: int, tolerance: float,
 
     def kernel(*args):
         op_refs = dict(zip(mat_names, args[:n_mats]))
-        (u_in, v_in, p_in, scal_ref, iscal_ref,
-         u_out, v_out, p_out, rows_out, state_out,
+        (u_in, v_in, p_in, scal_ref, iscal_ref, rnorm_ref,
+         u_out, v_out, p_out, rows_out, state_out, rnorm_out,
          su, sv, sp, bu, bv, bp, A1, A2, A3, A4, A5, A6) = args[n_mats:]
 
         start_iter = iscal_ref[0, 0]
@@ -411,7 +418,7 @@ def make_tiled_chunk_runner(ops: SpectralOps, chunk: int, tolerance: float,
         run_stage, metrics_pass = _stage_machinery(refs, nfp, blk, algorithm)
 
         def loop_body(i, carry):
-            done_i, conv_iter = carry
+            done_i, conv_iter, ref_norm = carry
             done = done_i > 0
             idx = start_iter + i
 
@@ -449,8 +456,14 @@ def make_tiled_chunk_runner(ops: SpectralOps, chunk: int, tolerance: float,
             ]).reshape(1, N_COLS)
             rows_out[pl.ds(i, 1), :] = row
 
+            if use_residual:
+                cont = jnp.sqrt(acc[2])
+                ref_norm = jnp.where(idx == warmup, cont, ref_norm)
+                crit = cont / jnp.maximum(ref_norm, 1e-30)
+            else:
+                crit = rel
             finite = jnp.isfinite(rel)
-            newly_conv = (idx >= warmup) & (rel < tolerance) & finite
+            newly_conv = (idx >= warmup) & (crit < tolerance) & finite
             newly_div = ~finite & ~done
             now_done = done | newly_conv | newly_div
             conv_iter = jnp.where(~done & now_done, idx + 1, conv_iter)
@@ -461,12 +474,14 @@ def make_tiled_chunk_runner(ops: SpectralOps, chunk: int, tolerance: float,
                 v_out[:] = sv[:]
                 p_out[:] = sp[:]
 
-            return (now_done.astype(jnp.int32), conv_iter)
+            return (now_done.astype(jnp.int32), conv_iter, ref_norm)
 
-        done_i, conv_iter = jax.lax.fori_loop(
-            0, chunk, loop_body, (jnp.int32(0), jnp.int32(-1)))
+        done_i, conv_iter, ref_norm = jax.lax.fori_loop(
+            0, chunk, loop_body,
+            (jnp.int32(0), jnp.int32(-1), rnorm_ref[0, 0]))
         state_out[0, 0] = done_i
         state_out[0, 1] = conv_iter
+        rnorm_out[0, 0] = ref_norm
 
     vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     call = pl.pallas_call(
@@ -477,11 +492,14 @@ def make_tiled_chunk_runner(ops: SpectralOps, chunk: int, tolerance: float,
             jax.ShapeDtypeStruct((nfp, nfp), f32),
             jax.ShapeDtypeStruct((chunk, N_COLS), f32),
             jax.ShapeDtypeStruct((1, 2), jnp.int32),
+            jax.ShapeDtypeStruct((1, 1), f32),
         ),
         in_specs=[vmem() for _ in range(n_mats + 3)]
         + [pl.BlockSpec((1, 6), memory_space=pltpu.SMEM),
+           pl.BlockSpec((1, 1), memory_space=pltpu.SMEM),
            pl.BlockSpec((1, 1), memory_space=pltpu.SMEM)],
         out_specs=(vmem(), vmem(), vmem(), vmem(),
+                   pl.BlockSpec(memory_space=pltpu.SMEM),
                    pl.BlockSpec(memory_space=pltpu.SMEM)),
         scratch_shapes=[pltpu.VMEM((nfp, nfp), f32) for _ in range(12)],
         interpret=interpret,
@@ -492,13 +510,17 @@ def make_tiled_chunk_runner(ops: SpectralOps, chunk: int, tolerance: float,
     def chunk_fn(state: SpectralState, start_iter, ref_norm):
         u, v, p = _embed(state, nf, ni, nfp)
         iscal = jnp.asarray(start_iter, jnp.int32).reshape(1, 1)
-        u, v, p, rows, flags = call(*mat_list, u, v, p, scal, iscal)
+        # inf (the runner's initial ref_norm) is fine: it is overwritten at
+        # the warmup iteration before first use
+        rscal = jnp.asarray(ref_norm, f32).reshape(1, 1)
+        u, v, p, rows, flags, rnorm = call(*mat_list, u, v, p, scal, iscal,
+                                           rscal)
         new_state = SpectralState(u=u[:nf, :nf], v=v[:nf, :nf],
                                   p=p[1:ni + 1, 1:ni + 1])
         done = flags[0, 0] > 0
         conv_iter = flags[0, 1]
         converged = done & jnp.isfinite(
             rows[jnp.maximum(conv_iter - 1 - start_iter, 0), 0])
-        return new_state, done, conv_iter, converged, rows, ref_norm
+        return new_state, done, conv_iter, converged, rows, rnorm[0, 0]
 
     return chunk_fn

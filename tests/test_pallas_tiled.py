@@ -130,3 +130,29 @@ class TestTiledChunkRunner:
         rel = float(jnp.linalg.norm(s3.u - s6.u)
                     / (jnp.linalg.norm(s6.u) + 1e-30))
         assert rel < 1e-3
+
+
+class TestResidualMetricChunk:
+    def test_matches_scan_runner_residual(self):
+        ops = make_ops(N=16)
+        state = core.initial_state(ops)
+        CH, TOL = 40, 1e-2
+        ref = make_chunk_runner(lambda s: core.sg_step(ops, s),
+                                lambda s: (s.u, s.v), CH, TOL, 10,
+                                convergence_metric="residual")
+        tiled = make_tiled_chunk_runner(ops, CH, TOL, 10, interpret=True,
+                                        algorithm="x6",
+                                        convergence_metric="residual")
+        rn_r = jnp.asarray(jnp.inf, jnp.float32)
+        rn_t = jnp.asarray(jnp.inf, jnp.float32)
+        sr, st = state, state
+        for c in range(3):
+            sr, dr, cir, cvr, rowsr, rn_r = ref(sr, jnp.int32(c * CH), rn_r)
+            st, dt_, cit, cvt, rowst, rn_t = tiled(st, jnp.int32(c * CH), rn_t)
+            assert bool(dr) == bool(dt_)
+            assert int(cir) == int(cit)
+            np.testing.assert_allclose(float(rn_t), float(rn_r), rtol=1e-5)
+            if bool(dr):
+                break
+        np.testing.assert_allclose(np.asarray(st.u), np.asarray(sr.u),
+                                   atol=1e-6)
