@@ -69,9 +69,13 @@ def make_fused_paths(ops, params, tol):
             ops, chunk, tol, WARMUP_ITERS)) if metric == "rel_iter" else None
     elif n <= MAX_TILED_N:
         step = make_tiled_sg_step(ops, algorithm=alg)
+        # above the N=192 tier the conserved-quantity dots cost ~8% of the
+        # step; sample them every 8th step (history rows carry the last
+        # values; the 1000-point downsample is far sparser anyway)
+        m_every = 1 if n <= MAX_FUSED_N else 8
         factory = lambda chunk: make_tiled_chunk_runner(
             ops, chunk, tol, WARMUP_ITERS, algorithm=alg,
-            convergence_metric=metric)
+            convergence_metric=metric, metrics_every=m_every)
     else:
         return None, None
     return step, factory

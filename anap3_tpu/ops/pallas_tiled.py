@@ -384,7 +384,8 @@ def make_tiled_sg_step(ops: SpectralOps, interpret: bool = False,
 def make_tiled_chunk_runner(ops: SpectralOps, chunk: int, tolerance: float,
                             warmup: int, interpret: bool = False,
                             blk: int | None = None, algorithm: str = "x3",
-                            convergence_metric: str = "rel_iter"):
+                            convergence_metric: str = "rel_iter",
+                            metrics_every: int = 1):
     """Drop-in for runner.make_chunk_runner at large N: K tiled steps plus
     the convergence state machine inside ONE kernel launch (same contract as
     ops/pallas_chunk.make_pallas_chunk_runner).
@@ -394,6 +395,13 @@ def make_tiled_chunk_runner(ops: SpectralOps, chunk: int, tolerance: float,
     iteration — the f32 high-Re remedy; ref_norm rides the SMEM scalar I/O).
     """
     use_residual = convergence_metric == "residual"
+    # metrics_every > 1 computes the conserved-quantity pass (the omega /
+    # vorticity-gradient dots, ~8% of the step at N=256) every M-th step,
+    # carrying the last values for intervening history rows. The
+    # convergence-relevant columns (rel_iter, residual norms) stay
+    # per-step exact; the reference's 1000-point downsample samples the
+    # energy curves far sparser than any reasonable M anyway.
+    metrics_every = max(1, int(metrics_every))
     mats, scal, nf, ni, nfp = _pad_ops(ops, blk, algorithm)
     _check_order(nf)
     blk = nfp if blk is None else blk
@@ -418,7 +426,7 @@ def make_tiled_chunk_runner(ops: SpectralOps, chunk: int, tolerance: float,
         run_stage, metrics_pass = _stage_machinery(refs, nfp, blk, algorithm)
 
         def loop_body(i, carry):
-            done_i, conv_iter, ref_norm = carry
+            done_i, conv_iter, ref_norm, e_c, z_c, pl_c = carry
             done = done_i > 0
             idx = start_iter + i
 
@@ -437,7 +445,12 @@ def make_tiled_chunk_runner(ops: SpectralOps, chunk: int, tolerance: float,
             for k, alpha in enumerate(_RK4_ALPHAS):
                 acc = run_stage(alpha * dt, bu, bv, bp,
                                 accumulate=(k == len(_RK4_ALPHAS) - 1))
-            energy, enstrophy, palinstrophy = metrics_pass()
+            if metrics_every == 1:
+                energy, enstrophy, palinstrophy = metrics_pass()
+            else:
+                energy, enstrophy, palinstrophy = jax.lax.cond(
+                    idx % metrics_every == 0,
+                    metrics_pass, lambda: (e_c, z_c, pl_c))
 
             du = jnp.sqrt(jnp.sum((su[:] - bu[:]) ** 2))
             dv = jnp.sqrt(jnp.sum((sv[:] - bv[:]) ** 2))
@@ -474,11 +487,14 @@ def make_tiled_chunk_runner(ops: SpectralOps, chunk: int, tolerance: float,
                 v_out[:] = sv[:]
                 p_out[:] = sp[:]
 
-            return (now_done.astype(jnp.int32), conv_iter, ref_norm)
+            return (now_done.astype(jnp.int32), conv_iter, ref_norm,
+                    energy, enstrophy, palinstrophy)
 
-        done_i, conv_iter, ref_norm = jax.lax.fori_loop(
+        zero = jnp.float32(0.0)
+        done_i, conv_iter, ref_norm, _e, _z, _pl = jax.lax.fori_loop(
             0, chunk, loop_body,
-            (jnp.int32(0), jnp.int32(-1), rnorm_ref[0, 0]))
+            (jnp.int32(0), jnp.int32(-1), rnorm_ref[0, 0],
+             zero, zero, zero))
         state_out[0, 0] = done_i
         state_out[0, 1] = conv_iter
         rnorm_out[0, 0] = ref_norm

@@ -277,7 +277,8 @@ def bench_stretch(n: int = 256) -> dict:
     ops, _ = core.build_spectral_ops(params)
     state = core.initial_state(ops)
     CH = 2000
-    runner = make_tiled_chunk_runner(ops, CH, 1e-12, 10, algorithm="x3")
+    runner = make_tiled_chunk_runner(ops, CH, 1e-12, 10, algorithm="x3",
+                                     metrics_every=8)
     ref = jnp.asarray(jnp.inf, jnp.float32)
     t0 = time.time()
     state, *_ = runner(state, jnp.int32(0), ref)

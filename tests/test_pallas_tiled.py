@@ -156,3 +156,29 @@ class TestResidualMetricChunk:
                 break
         np.testing.assert_allclose(np.asarray(st.u), np.asarray(sr.u),
                                    atol=1e-6)
+
+
+class TestMetricsCadence:
+    def test_metrics_every_carries_values(self):
+        ops = make_ops(N=16)
+        state = core.initial_state(ops)
+        rn = jnp.asarray(jnp.inf, jnp.float32)
+        r1 = make_tiled_chunk_runner(ops, 24, 1e-12, 10, interpret=True,
+                                     algorithm="x6")
+        r4 = make_tiled_chunk_runner(ops, 24, 1e-12, 10, interpret=True,
+                                     algorithm="x6", metrics_every=4)
+        s1, *_rest1 = r1(state, jnp.int32(0), rn)
+        rows1 = _rest1[3]
+        s4, *_rest4 = r4(state, jnp.int32(0), rn)
+        rows4 = _rest4[3]
+        # states identical (metrics cadence never touches the dynamics)
+        np.testing.assert_array_equal(np.asarray(s1.u), np.asarray(s4.u))
+        # sampled rows match exactly; in-between rows carry the last sample
+        e1 = np.asarray(rows1)[:, 4]
+        e4 = np.asarray(rows4)[:, 4]
+        np.testing.assert_allclose(e4[::4], e1[::4], rtol=1e-6)
+        np.testing.assert_array_equal(e4[1], e4[0])
+        np.testing.assert_array_equal(e4[5], e4[4])
+        # convergence-relevant columns stay per-step exact
+        np.testing.assert_allclose(np.asarray(rows4)[:, 0],
+                                   np.asarray(rows1)[:, 0], rtol=1e-6)
