@@ -353,16 +353,20 @@ class FVSolver(CavitySolver):
         step = None
         if self._pallas_enabled():
             try:
-                from ..ops.pallas_fv import (make_pallas_fv_chunk_runner,
+                from ..ops.pallas_fv import (MAX_FV_CHUNK_N,
+                                             make_pallas_fv_chunk_runner,
                                              make_pallas_fv_step)
 
                 step = make_pallas_fv_step(
                     self.params, ops,
                     bicgstab_iters=int(self.params.fv_inner_iters))
-                if self.params.convergence_metric == "rel_iter":
+                if (self.params.convergence_metric == "rel_iter"
+                        and max(int(self.params.nx),
+                                int(self.params.ny)) <= MAX_FV_CHUNK_N):
                     # whole chunks of SIMPLE iterations + the convergence
                     # state machine in one kernel launch (same tier as the
-                    # spectral pallas_chunk path)
+                    # spectral pallas_chunk path); above its VMEM ceiling
+                    # the per-step kernel still runs under the scan runner
                     def chunk_runner(chunk):
                         from ..models.runner import WARMUP_ITERS
 
@@ -426,12 +430,12 @@ class FVSolver(CavitySolver):
         elif str(flag).lower() in ("false", "0", "no"):
             enabled = False
         else:  # auto
-            from ..ops.pallas_fv import MAX_FV_FUSED_N
+            from ..ops.pallas_fv import MAX_FV_STEP_N
 
             enabled = (jax.default_backend() == "tpu"
                        and self.params.dtype == "float32"
                        and max(int(self.params.nx),
-                               int(self.params.ny)) <= MAX_FV_FUSED_N
+                               int(self.params.ny)) <= MAX_FV_STEP_N
                        and str(self.ops.rhie_chow) == "compact"
                        and str(self.ops.limiter or "").lower()
                        != "muscl-sharp")

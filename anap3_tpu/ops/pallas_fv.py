@@ -42,9 +42,14 @@ from jax.experimental.pallas import tpu as pltpu
 from ..models.fv import FVOps, FVState
 
 __all__ = ["make_pallas_fv_step", "make_pallas_fv_chunk_runner",
-           "MAX_FV_FUSED_N"]
+           "MAX_FV_STEP_N", "MAX_FV_CHUNK_N"]
 
-MAX_FV_FUSED_N = 256   # ~40 (N,N) f32 buffers must fit VMEM
+# VMEM ceilings measured on a v5e (16 MB scoped limit): the step kernel's
+# live set (statics + BiCGSTAB vectors + temporaries) OOMs at N=192; the
+# chunk kernel additionally carries the 5-array state through fori_loop and
+# OOMs at N=160. Larger FV grids run the XLA step.
+MAX_FV_STEP_N = 160
+MAX_FV_CHUNK_N = 144
 N_METRICS = 6
 N_COLS = 7  # rel_iter + 6 metrics (runner METRIC_KEYS order)
 
@@ -129,10 +134,11 @@ def _build_statics(params, ops: FVOps):
     return {k: jnp.asarray(v) for k, v in mats.items()}, jnp.asarray(scal)
 
 
-def _validate(params, ops: FVOps):
+def _validate(params, ops: FVOps, max_n: int):
     nx, ny = int(params.nx), int(params.ny)
-    if max(nx, ny) > MAX_FV_FUSED_N:
-        raise ValueError(f"fused FV step supports N <= {MAX_FV_FUSED_N}")
+    if max(nx, ny) > max_n:
+        raise ValueError(f"fused FV kernel supports N <= {max_n} "
+                         f"(got {max(nx, ny)})")
     if str(ops.limiter or "").lower() == "muscl-sharp":
         raise ValueError("MUSCL-sharp stays on the XLA path")
     if str(ops.rhie_chow) != "compact":
@@ -371,7 +377,7 @@ def _pad_state(state: FVState, ny, nx, f32=jnp.float32):
 def make_pallas_fv_step(params, ops: FVOps, bicgstab_iters: int = 16,
                         interpret: bool = False):
     """Build ``step(state) -> (state, metrics)``, one kernel per iteration."""
-    _validate(params, ops)
+    _validate(params, ops, MAX_FV_STEP_N)
     nx, ny = int(params.nx), int(params.ny)
     scheme_upwind = str(ops.scheme).lower() == "upwind"
     mats, scal = _build_statics(params, ops)
@@ -430,7 +436,7 @@ def make_pallas_fv_chunk_runner(params, ops: FVOps, chunk: int,
     Contract: ``chunk_fn(state, start_iter, ref_norm) -> (state, done,
     conv_iter, converged, rows, ref_norm)``.
     """
-    _validate(params, ops)
+    _validate(params, ops, MAX_FV_CHUNK_N)
     nx, ny = int(params.nx), int(params.ny)
     scheme_upwind = str(ops.scheme).lower() == "upwind"
     mats, scal = _build_statics(params, ops)
