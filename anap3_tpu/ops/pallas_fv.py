@@ -44,12 +44,13 @@ from ..models.fv import FVOps, FVState
 __all__ = ["make_pallas_fv_step", "make_pallas_fv_chunk_runner",
            "MAX_FV_STEP_N", "MAX_FV_CHUNK_N"]
 
-# VMEM ceilings measured on a v5e (16 MB scoped limit): the step kernel's
-# live set (statics + BiCGSTAB vectors + temporaries) OOMs at N=192; the
-# chunk kernel additionally carries the 5-array state through fori_loop and
-# OOMs at N=160. Larger FV grids run the XLA step.
-MAX_FV_STEP_N = 160
-MAX_FV_CHUNK_N = 144
+# VMEM ceilings measured on a v5e (16 MB scoped limit, BiCGSTAB as an
+# in-kernel fori_loop so only one iteration's temporaries are live): the
+# step kernel OOMs at N=256, the chunk kernel (which additionally carries
+# the 5-array state through its step loop) at N=224. Larger FV grids run
+# the XLA step.
+MAX_FV_STEP_N = 224
+MAX_FV_CHUNK_N = 192
 N_METRICS = 6
 N_COLS = 7  # rel_iter + 6 metrics (runner METRIC_KEYS order)
 
@@ -278,7 +279,9 @@ def _make_iterate(g, scal_ref, scheme_upwind: bool, K: int, n_ref: int):
         # zero, omega -> 0 and the beta = (rho1/rho)(alpha/omega) update
         # blows up (the classic BiCGSTAB breakdown a tolerance exit avoids).
         rhs_nrm2 = dot2(rhs_u, rhs_v, rhs_u, rhs_v) + eps
-        for _ in range(K):
+
+        def bicg_iter(_i, carry):
+            x1, x2, r1, r2, pv1, pv2, vv1, vv2, rho_k, alpha_k, omega_k = carry
             active = dot2(r1, r2, r1, r2) > jnp.float32(1e-16) * rhs_nrm2
 
             def sel(new, old):
@@ -305,7 +308,15 @@ def _make_iterate(g, scal_ref, scheme_upwind: bool, K: int, n_ref: int):
             x2 = sel(x2 + alpha_k * ph2 + omega_k * sh2, x2)
             r1 = sel(s1 - omega_k * t1, r1)
             r2 = sel(s2 - omega_k * t2, r2)
-            rho_k = rho1
+            return (x1, x2, r1, r2, pv1, pv2, vv1, vv2,
+                    rho1, alpha_k, omega_k)
+
+        # fori_loop (not a Python unroll) so the compiler's live set is ONE
+        # iteration's temporaries — the unrolled form OOMed scoped VMEM at
+        # N=160+ in the chunk kernel
+        x1, x2, r1, r2, *_rest = jax.lax.fori_loop(
+            0, K, bicg_iter,
+            (x1, x2, r1, r2, pv1, pv2, vv1, vv2, rho_k, alpha_k, omega_k))
         u_star, v_star = x1, x2
 
         # Rhie-Chow face velocities + mdot*
