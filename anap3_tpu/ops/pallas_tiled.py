@@ -8,9 +8,9 @@ src/solvers/spectral/sg.py:278-449) so the peak footprint is a fixed set of
 full-grid buffers:
 
 1. "left phase": the six products whose RIGHT operand is the full state —
-   A1 = Dx u, A2 = Dxx u, A3 = Dx v, A4 = Dxx v, A5 = Gx p, A6 = Ix p —
-   into dedicated scratch buffers. These snapshot every cross-row dependency
-   of a stage.
+   Dx u, Dxx u, Dx v, Dxx v, Gx p, Ix p — via THREE stacked-operator dots
+   (LU = [Dx;Dxx] u, LV = [Dx;Dxx] v, LP = [Gx;Ix] p) into dedicated
+   scratch buffers. These snapshot every cross-row dependency of a stage.
 2. "row phase": everything left is row-local (right matmuls U @ DyT etc.,
    elementwise algebra, boundary masking), so the state is updated IN PLACE
    over row blocks — no second state copy, no full-size R_u/R_v/R_p buffers.
@@ -55,8 +55,17 @@ N_COLS = 7  # rel_iter + 6 metrics, runner METRIC_KEYS order
 # Largest order whose working set fits VMEM with the x3 layout.
 MAX_TILED_N = 320
 
-# The eight matmul operators, in kernel argument order.
-_MAT_NAMES = ("Dx", "DyT", "Dxx", "DyyT", "Gx", "Ix", "IyT", "GyT")
+# The matmul operators, in kernel argument order. The stage dots use
+# STACKED operators — DX2 = [Dx; Dxx] (2nfp, nfp), PX2 = [Gx; Ix]
+# (2nfp, nfp), DY2 = [DyT | DyyT] (nfp, 2nfp) — so one MXU dot computes two
+# derivative products. With nf never a lane multiple (nf = N+1), every dot
+# pays ceil() padding waste in each of M/K/N; doubling M (or N) halves the
+# per-dot issue count and cuts total MXU passes ~1.26x at N=128 (measured
+# layout: nfp=160 pads to 2x128 lanes — 76 vs 96 passes per stage).
+# Stacking is along M/N only (the contraction dim stays nfp), so each
+# output element computes the exact same sum — bit-identical to the
+# unstacked dots. "Dx"/"DyT" singles are kept for the metrics pass.
+_MAT_NAMES = ("DX2", "PX2", "DY2", "Dx", "DyT", "IyT", "GyT")
 # Masks / boundary data (always f32).
 _AUX_NAMES = ("bc_u", "bc_v", "interior", "W2d")
 
@@ -136,9 +145,10 @@ def _pad_ops(ops: SpectralOps, blk: int | None, algorithm: str):
     # inner-grid pressure operators at the ring offset: Gx/Ix (nf, ni) act on
     # p_full[:, 1:nf-1] -> column offset 1; IyT/GyT (ni, nf) -> row offset 1
     raw = {
+        "DX2": np.vstack([pad(ops.Dx), pad(ops.Dxx)]),
+        "PX2": np.vstack([pad(ops.Gx, 0, 1), pad(ops.Ix, 0, 1)]),
+        "DY2": np.hstack([pad(ops.DyT), pad(ops.DyyT)]),
         "Dx": pad(ops.Dx), "DyT": pad(ops.DyT),
-        "Dxx": pad(ops.Dxx), "DyyT": pad(ops.DyyT),
-        "Gx": pad(ops.Gx, 0, 1), "Ix": pad(ops.Ix, 0, 1),
         "IyT": pad(ops.IyT, 1, 0), "GyT": pad(ops.GyT, 1, 0),
     }
     mats = {}
@@ -167,8 +177,9 @@ def _stage_machinery(refs, nfp, blk, algorithm):
     bc_u, bc_v = refs["bc_u"], refs["bc_v"]
     interior, W2d = refs["interior"], refs["W2d"]
     su, sv, sp = refs["su"], refs["sv"], refs["sp"]
-    A1, A2, A3, A4, A5, A6 = (refs["A1"], refs["A2"], refs["A3"],
-                              refs["A4"], refs["A5"], refs["A6"])
+    # (2nfp, nfp) left-product scratches: LU = [Dx@u; Dxx@u],
+    # LV = [Dx@v; Dxx@v], LP = [Gx@p; Ix@p]
+    LU, LV, LP = refs["LU"], refs["LV"], refs["LP"]
     nu = refs["nu"]
     beta_sq = refs["beta_sq"]
 
@@ -176,29 +187,29 @@ def _stage_machinery(refs, nfp, blk, algorithm):
         u_c = eng.cache(su[:])
         v_c = eng.cache(sv[:])
         p_c = eng.cache(sp[:])
-        A1[:] = eng.left("Dx", u_c)
-        A2[:] = eng.left("Dxx", u_c)
-        A3[:] = eng.left("Dx", v_c)
-        A4[:] = eng.left("Dxx", v_c)
-        A5[:] = eng.left("Gx", p_c)
-        A6[:] = eng.left("Ix", p_c)
-        a5_c = eng.cache(A5[:])
-        a6_c = eng.cache(A6[:])
+        LU[:] = eng.left("DX2", u_c)
+        LV[:] = eng.left("DX2", v_c)
+        LP[:] = eng.left("PX2", p_c)
+        a5_c = eng.cache(LP[0:nfp, :])
+        a6_c = eng.cache(LP[nfp:2 * nfp, :])
 
         zero = jnp.float32(0.0)
         acc = (zero, zero, zero)
         for i in range(nb):
             r = slice(i * blk, (i + 1) * blk)
+            r2 = slice(nfp + i * blk, nfp + (i + 1) * blk)
             u_b = su[r, :]
             v_b = sv[r, :]
-            du_dy = eng.right(u_c, "DyT", r)
-            dv_dy = eng.right(v_c, "DyT", r)
-            lap_u = A2[r, :] + eng.right(u_c, "DyyT", r)
-            lap_v = A4[r, :] + eng.right(v_c, "DyyT", r)
+            RU = eng.right(u_c, "DY2", r)   # [u@DyT | u@DyyT]
+            RV = eng.right(v_c, "DY2", r)
+            du_dy = RU[:, 0:nfp]
+            dv_dy = RV[:, 0:nfp]
+            lap_u = LU[r2, :] + RU[:, nfp:2 * nfp]
+            lap_v = LV[r2, :] + RV[:, nfp:2 * nfp]
             dp_dx = eng.right(a5_c, "IyT", r)
             dp_dy = eng.right(a6_c, "GyT", r)
-            du_dx = A1[r, :]
-            dv_dx = A3[r, :]
+            du_dx = LU[r, :]
+            dv_dx = LV[r, :]
             R_u = -(u_b * du_dx + v_b * du_dy) - dp_dx + nu * lap_u
             R_v = -(u_b * dv_dx + v_b * dv_dy) - dp_dy + nu * lap_v
             interior_b = interior[r, :]
@@ -221,29 +232,30 @@ def _stage_machinery(refs, nfp, blk, algorithm):
     def metrics_pass():
         """(energy, enstrophy, palinstrophy) of the current state.
 
-        Reuses A1 for omega and A2 for Dx @ omega.
+        Uses the single-operator mats ("Dx"/"DyT"); reuses LU[:nfp] for
+        omega and LV[:nfp] for Dx @ omega (free after the stage loop).
         """
         u_c = eng.cache(su[:])
         v_c = eng.cache(sv[:])
-        A3[:] = eng.left("Dx", v_c)
+        LV[0:nfp, :] = eng.left("Dx", v_c)
         zero = jnp.float32(0.0)
         energy = enstrophy = zero
         for i in range(nb):
             r = slice(i * blk, (i + 1) * blk)
             u_b = su[r, :]
             v_b = sv[r, :]
-            om = A3[r, :] - eng.right(u_c, "DyT", r)
-            A1[r, :] = om
+            om = LV[r, :] - eng.right(u_c, "DyT", r)
+            LU[r, :] = om
             w = W2d[r, :]
             energy = energy + 0.5 * jnp.sum(w * (u_b * u_b + v_b * v_b))
             enstrophy = enstrophy + 0.5 * jnp.sum(w * om * om)
 
-        om_c = eng.cache(A1[:])
-        A2[:] = eng.left("Dx", om_c)
+        om_c = eng.cache(LU[0:nfp, :])
+        LV[0:nfp, :] = eng.left("Dx", om_c)
         palinstrophy = zero
         for i in range(nb):
             r = slice(i * blk, (i + 1) * blk)
-            dwx = A2[r, :]
+            dwx = LV[r, :]
             dwy = eng.right(om_c, "DyT", r)
             palinstrophy = palinstrophy + 0.5 * jnp.sum(
                 W2d[r, :] * (dwx * dwx + dwy * dwy))
@@ -311,13 +323,12 @@ def make_tiled_sg_step(ops: SpectralOps, interpret: bool = False,
             tau_refs = dict(zip(("tau_u", "tau_v", "tau_p"), rest[3:6]))
         (scal_ref,
          u_out, v_out, p_out, metrics_out,
-         su, sv, sp, A1, A2, A3, A4, A5, A6) = rest[3 + n_tau:]
+         su, sv, sp, LU, LV, LP) = rest[3 + n_tau:]
 
         su[:] = u_in[:]
         sv[:] = v_in[:]
         sp[:] = p_in[:]
-        refs = dict(op_refs, su=su, sv=sv, sp=sp,
-                    A1=A1, A2=A2, A3=A3, A4=A4, A5=A5, A6=A6,
+        refs = dict(op_refs, su=su, sv=sv, sp=sp, LU=LU, LV=LV, LP=LP,
                     nu=scal_ref[0, 0], beta_sq=scal_ref[0, 1], **tau_refs)
         run_stage, metrics_pass = _stage_machinery(refs, nfp, blk, algorithm)
 
@@ -348,7 +359,8 @@ def make_tiled_sg_step(ops: SpectralOps, interpret: bool = False,
         in_specs=[vmem() for _ in range(n_mats + 3 + n_tau)]
         + [pl.BlockSpec((1, 6), memory_space=pltpu.SMEM)],
         out_specs=(vmem(), vmem(), vmem(), vmem()),
-        scratch_shapes=[pltpu.VMEM((nfp, nfp), f32) for _ in range(9)],
+        scratch_shapes=[pltpu.VMEM((nfp, nfp), f32) for _ in range(3)]
+        + [pltpu.VMEM((2 * nfp, nfp), f32) for _ in range(3)],
         interpret=interpret,
     )
     mat_list = [mats[k] for k in mat_names]
@@ -414,14 +426,13 @@ def make_tiled_chunk_runner(ops: SpectralOps, chunk: int, tolerance: float,
         op_refs = dict(zip(mat_names, args[:n_mats]))
         (u_in, v_in, p_in, scal_ref, iscal_ref, rnorm_ref,
          u_out, v_out, p_out, rows_out, state_out, rnorm_out,
-         su, sv, sp, bu, bv, bp, A1, A2, A3, A4, A5, A6) = args[n_mats:]
+         su, sv, sp, bu, bv, bp, LU, LV, LP) = args[n_mats:]
 
         start_iter = iscal_ref[0, 0]
         u_out[:] = u_in[:]
         v_out[:] = v_in[:]
         p_out[:] = p_in[:]
-        refs = dict(op_refs, su=su, sv=sv, sp=sp,
-                    A1=A1, A2=A2, A3=A3, A4=A4, A5=A5, A6=A6,
+        refs = dict(op_refs, su=su, sv=sv, sp=sp, LU=LU, LV=LV, LP=LP,
                     nu=scal_ref[0, 0], beta_sq=scal_ref[0, 1])
         run_stage, metrics_pass = _stage_machinery(refs, nfp, blk, algorithm)
 
@@ -517,7 +528,8 @@ def make_tiled_chunk_runner(ops: SpectralOps, chunk: int, tolerance: float,
         out_specs=(vmem(), vmem(), vmem(), vmem(),
                    pl.BlockSpec(memory_space=pltpu.SMEM),
                    pl.BlockSpec(memory_space=pltpu.SMEM)),
-        scratch_shapes=[pltpu.VMEM((nfp, nfp), f32) for _ in range(12)],
+        scratch_shapes=[pltpu.VMEM((nfp, nfp), f32) for _ in range(6)]
+        + [pltpu.VMEM((2 * nfp, nfp), f32) for _ in range(3)],
         interpret=interpret,
     )
     mat_list = [mats[k] for k in mat_names]
