@@ -28,6 +28,13 @@ are static per level).
 
 FMG = FSG nested iteration where each level is solved by V-cycles over the
 hierarchy built so far.
+
+Every level of a FAS hierarchy must RESOLVE the lid boundary layer
+(coarsest N >= ~2.4*sqrt(Re), the measured FAS resolution floor — see
+FAS_RESOLUTION_COEFF); below it the tau-corrected coarse problem relaxes
+toward the coarse grid's own flow and the cycle converges to a biased
+state (round-2 study). build_vmg_levels enforces the floor; hierarchies
+it cannot coarsen degenerate (with a warning) to single-grid SG.
 """
 
 from __future__ import annotations
@@ -51,7 +58,8 @@ from ..ops.transfer import (fft_restriction_matrix, injection_restriction_matrix
 
 log = logging.getLogger(__name__)
 
-__all__ = ["VMGSolver", "FMGSolver", "build_vmg_levels", "make_v_cycle"]
+__all__ = ["VMGSolver", "FMGSolver", "build_vmg_levels", "make_v_cycle",
+           "fas_coarsest_n"]
 
 _HIGHEST = jax.lax.Precision.HIGHEST
 
@@ -83,9 +91,31 @@ class VmgLevel:
 #            Re=3200 (Pe=209, FSG goes NaN);
 # N=12 at Re=100 (Pe=13) takes full-strength corrections. The thresholds
 # below bracket those observations while responding to the actual
-# coarse-grid resolution instead of raw Re buckets.
+# coarse-grid resolution instead of raw Re buckets. (These guard the FSG
+# CASCADE; the FAS hierarchy below uses the stricter resolution floor.)
 PE_COARSEST_MAX = 110.0     # coarsest level must have Pe <= this
 PE_FULL_CORRECTION = 15.0   # undamped corrections below this
+
+# FAS resolution floor (round-2 study, measured on the v5e, f32, cold
+# start, full-strength corrections, nu1=nu2=2, nu_coarse=30):
+#   Re=100:  fine 48 / coarse 24 converges EXACTLY to the SG energy
+#            (0.032880 vs truth 0.0328805); coarse 12 limit-cycles at a
+#            biased state (0.0366) and line-searched corrections reject.
+#   Re=1000: fine 192 / coarse 96 converges unbiased (energy 0.0405, max
+#            Ghia centerline err 0.021/0.014) in ~160k fine-step
+#            equivalents where single-grid SG is still at err 0.12 after
+#            6M steps; coarse 48 drifts to the coarse grid's own
+#            attractor (energy -> 0.0410 = N=48's solution); coarse 24
+#            diverges.
+# Mechanism: every FAS level must RESOLVE the lid boundary layer
+# (delta ~ 1/sqrt(Re); near-wall CGL spacing ~ (pi/N)^2/2, so
+# N >= c*sqrt(Re)). Below the floor the coarse operator's truncation
+# error exceeds the restricted defect (measured |R_H(I u)| ~ 3.6x |I d|
+# at the failing levels) and the tau-corrected coarse problem relaxes
+# toward the coarse grid's own flow, which the prolongated correction
+# imposes on the fine state. The observed brackets (floor in (12,24] at
+# Re=100, (48,96] at Re=1000) pin the coefficient to ~2.4.
+FAS_RESOLUTION_COEFF = 2.4
 
 
 def cell_peclet(Re: float, n: int) -> float:
@@ -104,30 +134,28 @@ def default_coarsest_n(Re: float) -> int:
     return max(12, int(np.ceil(float(Re) * np.pi / (2.0 * PE_COARSEST_MAX))))
 
 
-def correction_damping(Re: float, coarsest_n: int) -> float:
-    """Coarse-correction under-relaxation from the measured Pe criterion."""
-    return 1.0 if cell_peclet(Re, coarsest_n) <= PE_FULL_CORRECTION else 0.6
+def fas_coarsest_n(Re: float) -> int:
+    """Coarsest order admissible in a FAS hierarchy at this Re.
 
-
-def _warn_if_damped_bias(damping: float, params) -> None:
-    """Measured limitation of the damped FAS cycle (round-2 study).
-
-    When the coarse grids under-resolve convection, UNDAMPED corrections
-    diverge (Re=1000 N=96: NaN within 24 cycles) while DAMPED corrections
-    converge to a measurably biased state (energy +22% vs the SG/FSG
-    solution; bias persists across 2-level hierarchies, nu_coarse=120,
-    nu=6/6, damping 0.3-0.6, and float64 — it is a property of the damped
-    cycle's attractor, not of precision). The true solution IS a fixed
-    point of the cycle, but the cold-start basin leads elsewhere. Use FSG
-    for production runs in this regime; VMG/FMG match SG where undamped
-    corrections are stable (coarsest-level cell Peclet <= 15).
+    Every FAS level must resolve the lid boundary layer, or the coarse
+    correction drags the fine solution toward the coarse grid's own
+    attractor (see FAS_RESOLUTION_COEFF calibration above). Distinct from
+    the weaker Pe-based ``default_coarsest_n`` that guards the FSG
+    CASCADE, where coarse levels only provide initial guesses, never
+    defect corrections.
     """
-    if damping < 1.0:
+    return max(12, int(np.ceil(FAS_RESOLUTION_COEFF * np.sqrt(float(Re)))))
+
+
+def _warn_if_degenerate(levels, params) -> None:
+    if len(levels) == 1:
         log.warning(
-            "VMG/FMG with damped corrections (Re=%g, damping=%.1f) converges "
-            "to a BIASED state in the convection-dominated regime (measured "
-            "+22%% energy at Re=1000); prefer solver=spectral/fsg here.",
-            float(params.Re), damping)
+            "VMG/FMG hierarchy at N=%d, Re=%g has a single level: the FAS "
+            "resolution floor (coarsest N >= %d ~ 2.4*sqrt(Re)) admits no "
+            "coarser grid, so the solver degenerates to single-grid SG. "
+            "Use a finer grid, or solver=spectral/fsg whose cascade "
+            "tolerates coarser levels.",
+            int(params.nx), float(params.Re), fas_coarsest_n(float(params.Re)))
 
 
 def build_fused_tau_steps(solver, levels) -> dict | None:
@@ -153,7 +181,7 @@ def build_vmg_levels(params: SpectralParameters, n_fine: int | None = None,
     """Hierarchy from FINE (index 0) to COARSE, with per-pair transfers."""
     dtype = jnp.dtype(params.dtype)
     if coarsest_n is None:
-        coarsest_n = default_coarsest_n(float(params.Re))
+        coarsest_n = fas_coarsest_n(float(params.Re))
     orders = []
     n = int(params.nx if n_fine is None else n_fine)
     for _ in range(int(params.n_levels)):
@@ -197,9 +225,11 @@ def make_v_cycle(levels: List[VmgLevel], nu1: int = 2, nu2: int = 2,
                  fused_steps: dict | None = None):
     """Build the jitted V-cycle step: state -> (state, metrics).
 
-    ``damping`` under-relaxes the prolongated coarse-grid correction —
-    needed when the coarse grids are convection-under-resolved (see
-    correction_damping / the cell-Peclet criterion).
+    ``damping`` under-relaxes the prolongated coarse-grid correction
+    (experimentation hook; production cycles run full strength — the
+    round-2 study showed damping only slows the drift toward the coarse
+    attractor when a level violates the FAS resolution floor, it does not
+    remove it, while levels satisfying the floor need no damping).
 
     ``fused_steps`` (optional {level_idx: step(state, tau)}) runs the
     smoothing sweeps through the FAS-forced fused Pallas kernels
@@ -298,13 +328,12 @@ class VMGSolver(SGSolver):
         tol = self.params.tolerance if tolerance is None else tolerance
         max_iter = self.params.max_iterations if max_iter is None else max_iter
         levels = build_vmg_levels(self.params)
-        damping = correction_damping(float(self.params.Re), levels[-1].n)
-        log.info("VMG hierarchy: N = %s (coarsest Pe=%.0f, damping=%.1f)",
-                 [lv.n for lv in levels],
-                 cell_peclet(float(self.params.Re), levels[-1].n), damping)
-        _warn_if_damped_bias(damping, self.params)
+        log.info("VMG hierarchy: N = %s (FAS floor %d for Re=%g), "
+                 "full-strength corrections",
+                 [lv.n for lv in levels], fas_coarsest_n(float(self.params.Re)),
+                 float(self.params.Re))
+        _warn_if_degenerate(levels, self.params)
         v_cycle = make_v_cycle(levels, self.NU1, self.NU2, self.NU_COARSE,
-                               damping=damping,
                                fused_steps=self._fused_steps(levels))
         # per-cycle work = nu1+nu2 fine smoothing steps; scale the cycle
         # budget so max_iterations keeps its fine-step meaning
@@ -336,9 +365,7 @@ class FMGSolver(SGSolver):
         levels = build_vmg_levels(self.params)  # fine -> coarse
         coarse_to_fine = levels[::-1]
         log.info("FMG hierarchy: N = %s", [lv.n for lv in coarse_to_fine])
-        _warn_if_damped_bias(
-            correction_damping(float(self.params.Re), levels[-1].n),
-            self.params)
+        _warn_if_degenerate(levels, self.params)
 
         t0 = time.time()
         total_iters = 0
@@ -358,8 +385,6 @@ class FMGSolver(SGSolver):
             if len(sub_levels) > 1:
                 step = make_v_cycle(
                     sub_levels, self.NU1, self.NU2, self.NU_COARSE,
-                    damping=correction_damping(float(self.params.Re),
-                                               sub_levels[-1].n),
                     fused_steps=build_fused_tau_steps(self, sub_levels))
                 budget = max(1, max_iter // (self.NU1 + self.NU2))
             else:

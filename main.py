@@ -57,6 +57,18 @@ logging.basicConfig(
 )
 log = logging.getLogger("main")
 
+
+def _pin_platform(cfg: dict) -> None:
+    """Apply the root ``platform`` knob (conf/config.yaml) before any device
+    work. jax.config wins over JAX_PLATFORMS even when a plugin backend's
+    sitecustomize has already forced the env var."""
+    platform = cfg.get("platform")
+    if platform:
+        import jax
+
+        jax.config.update("jax_platforms", str(platform))
+        log.info("Pinned JAX platform: %s", platform)
+
 _LIVE_METRIC_NAMES = {
     "rel_iter": "rel_iter_residual",
     "u_eq": "u_residual",
@@ -419,6 +431,8 @@ def _batch_signature(cfg):
 
 def run_multirun(overrides):
     jobs = C.expand_multirun(REPO_ROOT / "conf", overrides)
+    if jobs:
+        _pin_platform(jobs[0])
 
     # optimization path: any Interval value anywhere in the sweeper params
     base = jobs[0]
@@ -598,6 +612,7 @@ def main(argv=None):
         return run_multirun(overrides)
 
     cfg = C.compose(REPO_ROOT / "conf", overrides)
+    _pin_platform(cfg)
     log.info("Solver: %s, N=%s, Re=%s", cfg["solver"].get("name"), cfg["N"],
              cfg["Re"])
     log.info("Tracking experiment: %s", setup_tracking(cfg))

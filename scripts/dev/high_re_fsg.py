@@ -6,8 +6,9 @@ N=256 Re=5000 (reached max Ghia err 0.084). This probe runs the FSG
 cascade with convergence_metric=residual so the slow physics settle on the
 cheap coarse level first.
 
-Usage: python scripts/dev/high_re_fsg.py [Re] [N] [max_iters]
+Usage: python scripts/dev/high_re_fsg.py [Re] [N] [max_iters] [tol]
 """
+import logging
 import sys, time
 sys.path.insert(0, "/root/repo")
 from pathlib import Path
@@ -22,16 +23,21 @@ from anap3_tpu.models.params import SpectralParameters
 from anap3_tpu.models.spectral import FSGSolver
 from anap3_tpu.ops import basis as B
 
+logging.basicConfig(level=logging.INFO, stream=sys.stdout,
+                    format="%(asctime)s %(name)s %(message)s")
+
 Re = float(sys.argv[1]) if len(sys.argv) > 1 else 5000.0
 N = int(sys.argv[2]) if len(sys.argv) > 2 else 256
 max_iters = int(sys.argv[3]) if len(sys.argv) > 3 else 30_000_000
+tol = float(sys.argv[4]) if len(sys.argv) > 4 else 1e-5
 
 p = SpectralParameters(
     name="spectral_fsg", Re=Re, nx=N, ny=N, basis_type="chebyshev",
     CFL=1.5, beta_squared=5.0, corner_treatment="smoothing",
-    corner_smoothing=0.15, tolerance=1e-6, max_iterations=max_iters,
+    corner_smoothing=0.15, tolerance=tol, max_iterations=max_iters,
     multigrid="fsg", n_levels=10, coarse_tolerance_factor=1.0,
-    dtype="float32", chunk_size=5000, convergence_metric="residual")
+    dtype="float32", chunk_size=5000, convergence_metric="residual",
+    stall_chunks=40)
 
 t0 = time.time()
 s = FSGSolver(params=p)

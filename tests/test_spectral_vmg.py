@@ -14,7 +14,9 @@ from anap3_tpu.ops.transfer import nodal_injection_matrix, nodal_interpolation_m
 
 
 def make_params(**over):
-    base = dict(name="spectral_vmg", Re=100.0, nx=24, ny=24,
+    # Re=25 keeps the FAS resolution floor (~2.4*sqrt(Re) = 12) satisfied
+    # by the [24, 12] hierarchy that is cheap enough for unit tests.
+    base = dict(name="spectral_vmg", Re=25.0, nx=24, ny=24,
                 basis_type="chebyshev", CFL=1.5, beta_squared=5.0,
                 corner_treatment="smoothing", corner_smoothing=0.15,
                 tolerance=1e-8, max_iterations=40000, n_levels=2,
@@ -53,6 +55,16 @@ class TestVCycle:
         levels = build_vmg_levels(make_params(nx=48, ny=48, n_levels=3))
         assert [lv.n for lv in levels] == [48, 24, 12]
         assert levels[-1].inj_full is None  # coarsest has no further transfer
+
+    def test_levels_respect_fas_floor(self):
+        # Re=100 -> floor 24: a 48-fine hierarchy stops at 24, never 12
+        levels = build_vmg_levels(make_params(Re=100.0, nx=48, ny=48,
+                                              n_levels=5))
+        assert [lv.n for lv in levels] == [48, 24]
+        # Re=1000 -> floor 76: nothing below 96 qualifies
+        levels = build_vmg_levels(make_params(Re=1000.0, nx=96, ny=96,
+                                              n_levels=5))
+        assert [lv.n for lv in levels] == [96]
 
     def test_single_cycle_reduces_residual(self):
         params = make_params()
@@ -104,7 +116,11 @@ class TestFMG:
                                            coarse_tolerance_factor=10.0))
         fmg.solve()
         assert fmg.metrics.converged
-        assert fmg.metrics.psi_min == pytest.approx(-0.10298, abs=2e-3)
+        sg = SGSolver(params=make_params(name="spectral", tolerance=1e-6,
+                                         max_iterations=60000, chunk_size=500))
+        sg.solve()
+        assert fmg.metrics.psi_min == pytest.approx(sg.metrics.psi_min,
+                                                    abs=5e-4)
 
 
 class TestFMGDivergenceReporting:
@@ -149,33 +165,35 @@ class TestFMGDivergenceReporting:
         assert seen and all(m == "residual" for m in seen)
 
 
-class TestDampedBiasGuard:
-    def test_pe_criterion_values(self):
+class TestFasFloor:
+    def test_floor_values(self):
         from anap3_tpu.models.spectral_vmg import (cell_peclet,
-                                                   correction_damping,
-                                                   default_coarsest_n)
+                                                   default_coarsest_n,
+                                                   fas_coarsest_n)
 
+        # FSG-cascade Pe guard (unchanged semantics)
         assert cell_peclet(1000.0, 24) == pytest.approx(65.4, abs=0.1)
         assert default_coarsest_n(100.0) == 12
         assert default_coarsest_n(1000.0) == 15
-        assert default_coarsest_n(3200.0) == 46
-        assert correction_damping(100.0, 12) == 1.0   # Pe=13 <= 15
-        assert correction_damping(1000.0, 24) == 0.6  # Pe=65
+        # FAS resolution floor ~2.4*sqrt(Re): brackets measured round-2
+        assert fas_coarsest_n(25.0) == 12
+        assert fas_coarsest_n(100.0) == 24
+        assert 48 < fas_coarsest_n(1000.0) <= 96
 
-    def test_warning_fires_in_damped_regime(self, caplog):
+    def test_warning_fires_on_degenerate_hierarchy(self, caplog):
         import logging
 
         solver = VMGSolver(params=make_params(Re=1000.0, nx=24, ny=24,
                                               max_iterations=40))
         with caplog.at_level(logging.WARNING):
             solver.solve()
-        assert any("BIASED" in r.message for r in caplog.records)
+        assert any("single level" in r.message for r in caplog.records)
 
-    def test_no_warning_in_valid_regime(self, caplog):
+    def test_no_warning_with_admissible_hierarchy(self, caplog):
         import logging
 
-        solver = VMGSolver(params=make_params(Re=100.0, nx=24, ny=24,
+        solver = VMGSolver(params=make_params(Re=25.0, nx=24, ny=24,
                                               max_iterations=40))
         with caplog.at_level(logging.WARNING):
             solver.solve()
-        assert not any("BIASED" in r.message for r in caplog.records)
+        assert not any("single level" in r.message for r in caplog.records)
