@@ -43,13 +43,13 @@ def make_fused_paths(ops, params, tol):
     fused kernel covers the size (fall back to the XLA step).
 
     Tiers: the row-phase-structured tiled kernels (ops/pallas_tiled.py)
-    with the x3 bf16 decomposition are the production path — measured
-    faster than the original whole-step x6 kernels at EVERY size (N=96:
-    112k vs 93k steps/s; N=128: 44.6k vs 35.5k; N=192: 34.9k vs 21.5k;
-    N=256: 12.7k vs the 6.8k XLA fallback) while converging to the same
-    Ghia-level accuracy. ``matmul_algorithm: x6`` selects full-f32-accuracy
-    kernels (the untiled whole-step kernel for N<=192, the tiled x6 variant
-    above that).
+    with the x3 bf16 decomposition and stacked-operator dots are the
+    production path — measured faster than the round-1 whole-step x6
+    kernels at EVERY size (N=128: 52.9k vs 35.5k steps/s; N=256: 14.9k vs
+    the 6.8k XLA fallback; full table in STATUS.md "Performance") while
+    converging to the same Ghia-level accuracy. ``matmul_algorithm: x6``
+    selects full-f32-accuracy kernels (the untiled whole-step kernel for
+    N<=192, the tiled x6 variant above that).
     """
     from ..ops.pallas_step import MAX_FUSED_N, make_pallas_sg_step
     from ..ops.pallas_chunk import make_pallas_chunk_runner

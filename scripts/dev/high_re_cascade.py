@@ -4,7 +4,7 @@ Marches N_coarse until the energy plateaus, prolongates, marches N_fine to
 its plateau, then evaluates Ghia centerline errors. Writes progress and the
 final state (npz, reusable as a continuation warm start) next to the log.
 
-Usage: python -u high_re_cascade.py <Re> [Nf] [Nc] [out_prefix]
+Usage: python -u high_re_cascade.py <Re> [Nf] [Nc] [out_prefix] [smoothing]
 """
 import sys, time
 sys.path.insert(0, "/root/repo")
@@ -27,9 +27,11 @@ Re = float(sys.argv[1]) if len(sys.argv) > 1 else 5000.0
 NF = int(sys.argv[2]) if len(sys.argv) > 2 else 256
 NC = int(sys.argv[3]) if len(sys.argv) > 3 else 128
 prefix = sys.argv[4] if len(sys.argv) > 4 else f"/tmp/hire_Re{int(Re)}"
+SMOOTHING = float(sys.argv[5]) if len(sys.argv) > 5 else 0.15
 
-BLOCK = 500_000          # steps between plateau checks
-DE_PLATEAU = 2e-5        # stop level when |dE| per block falls below
+import os
+BLOCK = int(os.environ.get("HIRE_BLOCK", 500_000))
+DE_PLATEAU = float(os.environ.get("HIRE_DE", 2e-5))
 CAPS = {NC: 20_000_000, NF: 20_000_000}
 CH = 5000
 
@@ -37,7 +39,7 @@ def params_for(n):
     return SpectralParameters(
         name="spectral", Re=Re, nx=n, ny=n, basis_type="chebyshev",
         CFL=1.5, beta_squared=5.0, corner_treatment="smoothing",
-        corner_smoothing=0.15, dtype="float32")
+        corner_smoothing=SMOOTHING, dtype="float32")
 
 def march(n, state):
     p = params_for(n)
@@ -98,19 +100,28 @@ def ghia(n, state):
         err = np.max(np.abs(vals - tab[comp].to_numpy())[itr])
         print(f"Re={Re:g} N={n}: ghia_{comp}_err={err:.4f}", flush=True)
 
-t00 = time.time()
-init = None
-warm = Path(f"{prefix}_N{NC}.npz")
-if warm.exists():
-    d = np.load(warm)
-    init = core.SpectralState(u=jnp.asarray(d["u"]), v=jnp.asarray(d["v"]),
+def load_state(path):
+    d = np.load(path)
+    return core.SpectralState(u=jnp.asarray(d["u"]), v=jnp.asarray(d["v"]),
                               p=jnp.asarray(d["p"]))
-    print(f"warm start from {warm}", flush=True)
-state_c, it_c = march(NC, init)
-np.savez(f"{prefix}_N{NC}.npz", u=np.asarray(state_c.u),
-         v=np.asarray(state_c.v), p=np.asarray(state_c.p))
-ghia(NC, state_c)
-state_f = prolongate(state_c, NC, NF)
+
+t00 = time.time()
+warm_f = Path(f"{prefix}_N{NF}.npz")
+if warm_f.exists():
+    # continue a finished fine level (e.g. with a tighter plateau bound)
+    print(f"fine-level warm start from {warm_f}", flush=True)
+    state_f, it_c = load_state(warm_f), 0
+else:
+    init = None
+    warm = Path(f"{prefix}_N{NC}.npz")
+    if warm.exists():
+        init = load_state(warm)
+        print(f"warm start from {warm}", flush=True)
+    state_c, it_c = march(NC, init)
+    np.savez(f"{prefix}_N{NC}.npz", u=np.asarray(state_c.u),
+             v=np.asarray(state_c.v), p=np.asarray(state_c.p))
+    ghia(NC, state_c)
+    state_f = prolongate(state_c, NC, NF)
 state_f, it_f = march(NF, state_f)
 np.savez(f"{prefix}_N{NF}.npz", u=np.asarray(state_f.u),
          v=np.asarray(state_f.v), p=np.asarray(state_f.p))
