@@ -65,9 +65,13 @@ class Parameters:
     # chunk_size-1 extra frozen iterations after convergence.
     chunk_size: int = 200
     # Convergence criterion: "rel_iter" (relative iterate change; the
-    # reference's definition) or "residual" (algebraic residual reduction
+    # reference's definition), "residual" (algebraic residual reduction
     # relative to the warmup iteration; robust against the slow-dynamics
-    # false convergence that rel_iter exhibits in float32).
+    # false convergence that rel_iter exhibits in float32), or "energy"
+    # (kinetic-energy plateau: stop when |dE| over one chunk falls below
+    # tolerance * |E|, tested host-side at chunk boundaries — the
+    # criterion for high-Re runs whose slowest physics drift below any
+    # per-step test; pairs naturally with large chunk_size).
     convergence_metric: str = "rel_iter"
     # Plateau detection (models/runner.py): stop with stalled=True after
     # this many chunks without >2% improvement of the criterion. -1 = auto

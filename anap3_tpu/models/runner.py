@@ -98,6 +98,9 @@ def make_chunk_runner(
       state. (The momentum residual norms are unusable for this: they
       include boundary rows where BC enforcement leaves O(1) garbage — true
       in the reference as well, sg.py:463-473.)
+    - "energy" is NOT handled here: run_fixed_point maps it to a
+      (tolerance=0, rel_iter) state machine and applies the kinetic-energy
+      plateau test host-side at chunk boundaries.
     """
     use_residual = convergence_metric == "residual"
 
@@ -199,13 +202,30 @@ def run_fixed_point(
     reference's exact semantics.
     """
     chunk = int(min(chunk, max(1, max_iterations)))
+    # "energy" metric: the per-step state machine never self-converges
+    # (tolerance 0 on rel_iter keeps divergence detection alive); the
+    # plateau test runs HOST-SIDE at chunk boundaries on the energy
+    # column — stop when |dE| over one chunk <= tolerance * |E|. This is
+    # the criterion for physics that drift below any per-step test's
+    # resolution (high-Re f32 runs: rel-iter and residual both
+    # false-converge or never trigger; the kinetic-energy plateau is the
+    # observable that actually settles last).
+    if convergence_metric not in ("rel_iter", "residual", "energy"):
+        raise ValueError(
+            f"unknown convergence_metric {convergence_metric!r}: expected "
+            "'rel_iter', 'residual' or 'energy'")
+    use_energy = convergence_metric == "energy"
+    inner_metric = "rel_iter" if use_energy else convergence_metric
+    inner_tol = 0.0 if use_energy else tolerance
     if chunk_runner is not None:
         # caller-supplied fused runner (e.g. ops/pallas_chunk.py) with the
-        # same (state, start_iter, ref_norm) -> 6-tuple contract
+        # same (state, start_iter, ref_norm) -> 6-tuple contract; for
+        # "energy" the caller builds it with (tolerance=0, rel_iter) —
+        # models/spectral.make_fused_paths does this mapping
         runner = chunk_runner(chunk)
     else:
-        runner = make_chunk_runner(step_fn, get_uv, chunk, tolerance, warmup,
-                                   convergence_metric)
+        runner = make_chunk_runner(step_fn, get_uv, chunk, inner_tol, warmup,
+                                   inner_metric)
 
     history_rows: List[np.ndarray] = []
     iterations = start_iteration
@@ -214,6 +234,8 @@ def run_fixed_point(
     stalled = False
     crit_col = METRIC_KEYS.index(
         "continuity" if convergence_metric == "residual" else "rel_iter")
+    energy_col = METRIC_KEYS.index("energy")
+    e_prev: Optional[float] = None
     best_crit = np.inf
     stall_count = 0
     log_time = 0.0
@@ -259,7 +281,20 @@ def run_fixed_point(
             log_time += time.time() - t_ck
         if done_host:
             break
-        if stall_chunks > 0 and it > warmup:
+        if use_energy and it > warmup:
+            vals = rows_host[:n_ran, energy_col]
+            vals = vals[np.isfinite(vals)]
+            if vals.size:
+                e_last = float(vals[-1])
+                if e_prev is not None and abs(e_last - e_prev) <= (
+                        tolerance * max(abs(e_last), 1e-30)):
+                    converged = True
+                    iterations = it
+                    break
+                e_prev = e_last
+        # stall detection watches the rel_iter/residual criterion, whose
+        # plateau is EXPECTED (not a failure) under the energy metric
+        if stall_chunks > 0 and not use_energy and it > warmup:
             vals = rows_host[:n_ran, crit_col]
             vals = vals[np.isfinite(vals)]
             if vals.size:

@@ -62,11 +62,16 @@ def make_fused_paths(ops, params, tol):
     metric = str(getattr(params, "convergence_metric", "rel_iter"))
     if alg == "auto":
         alg = "x3"
+    # "energy" converges host-side in run_fixed_point: the in-kernel state
+    # machine runs (tolerance=0, rel_iter) so it only detects divergence
+    inner_metric = "rel_iter" if metric == "energy" else metric
+    inner_tol = 0.0 if metric == "energy" else tol
     if alg == "x6" and n <= MAX_FUSED_N:
         step = make_pallas_sg_step(ops)
         # the untiled chunk kernel implements rel_iter only
         factory = (lambda chunk: make_pallas_chunk_runner(
-            ops, chunk, tol, WARMUP_ITERS)) if metric == "rel_iter" else None
+            ops, chunk, inner_tol, WARMUP_ITERS)
+        ) if inner_metric == "rel_iter" else None
     elif n <= MAX_TILED_N:
         step = make_tiled_sg_step(ops, algorithm=alg)
         # above the N=192 tier the conserved-quantity dots cost ~8% of the
@@ -74,8 +79,8 @@ def make_fused_paths(ops, params, tol):
         # values; the 1000-point downsample is far sparser anyway)
         m_every = 1 if n <= MAX_FUSED_N else 8
         factory = lambda chunk: make_tiled_chunk_runner(
-            ops, chunk, tol, WARMUP_ITERS, algorithm=alg,
-            convergence_metric=metric, metrics_every=m_every)
+            ops, chunk, inner_tol, WARMUP_ITERS, algorithm=alg,
+            convergence_metric=inner_metric, metrics_every=m_every)
     else:
         return None, None
     return step, factory

@@ -203,6 +203,56 @@ class TestResidualConvergence:
         assert hist[-1] / hist[0] < 1e-3
 
 
+class TestEnergyConvergence:
+    def test_energy_plateau_stops_synthetic_drift(self):
+        """A state that keeps moving (rel_iter never below tol) but whose
+        energy plateaus must converge under the energy metric, at the first
+        chunk boundary where |dE| <= tol * |E|."""
+        from anap3_tpu.models.runner import run_fixed_point
+
+        def step(s):
+            k = s["k"]
+            # constant-norm drift; energy approaches 1.0 geometrically
+            energy = 1.0 - 0.5 ** (k.astype(jnp.float32) / 50.0)
+            zero = jnp.asarray(0.0, jnp.float32)
+            m = {"u_eq": zero, "v_eq": zero, "continuity": zero + 1.0,
+                 "energy": energy, "enstrophy": zero, "palinstrophy": zero}
+            return {"k": k + 1, "x": s["x"] + 1.0}, m
+
+        init = {"k": jnp.asarray(0, jnp.int32),
+                "x": jnp.asarray(1.0, jnp.float32)}
+        res = run_fixed_point(
+            step, lambda s: (s["x"][None], s["x"][None]), init,
+            tolerance=1e-6, max_iterations=100000, chunk=100,
+            convergence_metric="energy")
+        assert res.converged and not res.diverged
+        # dE per 100-step chunk falls below 1e-6 around k ~ 3.3k steps
+        assert 500 < res.iterations < 20000
+        e = res.history["energy"]
+        assert abs(e[-1] - e[-101]) <= 2e-6
+
+    def test_energy_criterion_sg_matches_rel_iter_solution(self):
+        sg_ref = SGSolver(params=make_params(nx=12, ny=12, tolerance=1e-6,
+                                             max_iterations=30000,
+                                             chunk_size=500))
+        sg_ref.solve()
+        sg_e = SGSolver(params=make_params(
+            nx=12, ny=12, tolerance=1e-7, max_iterations=30000,
+            convergence_metric="energy", chunk_size=500))
+        sg_e.solve()
+        assert sg_e.metrics.converged
+        np.testing.assert_allclose(np.asarray(sg_e.state.u),
+                                   np.asarray(sg_ref.state.u), atol=1e-3)
+
+    def test_unknown_metric_rejected(self):
+        from anap3_tpu.models.runner import run_fixed_point
+
+        with pytest.raises(ValueError, match="convergence_metric"):
+            run_fixed_point(lambda s: (s, {}), lambda s: (s, s),
+                            jnp.zeros(3), tolerance=1e-6, max_iterations=10,
+                            convergence_metric="bogus")
+
+
 class TestPallasChunkRunner:
     def test_matches_xla_chunk_runner_including_convergence(self):
         """The in-kernel chunk runner (interpret mode) reproduces the XLA
