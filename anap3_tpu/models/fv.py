@@ -360,18 +360,21 @@ class FVSolver(CavitySolver):
                 step = make_pallas_fv_step(
                     self.params, ops,
                     bicgstab_iters=int(self.params.fv_inner_iters))
-                if (self.params.convergence_metric == "rel_iter"
+                if (self.params.convergence_metric in ("rel_iter", "energy")
                         and max(int(self.params.nx),
                                 int(self.params.ny)) <= MAX_FV_CHUNK_N):
                     # whole chunks of SIMPLE iterations + the convergence
                     # state machine in one kernel launch (same tier as the
                     # spectral pallas_chunk path); above its VMEM ceiling
-                    # the per-step kernel still runs under the scan runner
-                    def chunk_runner(chunk):
+                    # the per-step kernel still runs under the scan runner.
+                    # "energy" arrives from run_fixed_point mapped to
+                    # (rel_iter, tolerance 0): the kernel only detects
+                    # divergence and the plateau test runs host-side.
+                    def chunk_runner(chunk, tol_, metric_):
                         from ..models.runner import WARMUP_ITERS
 
                         return make_pallas_fv_chunk_runner(
-                            self.params, ops, chunk, tol, WARMUP_ITERS,
+                            self.params, ops, chunk, tol_, WARMUP_ITERS,
                             bicgstab_iters=int(self.params.fv_inner_iters))
             except ValueError as exc:
                 # explicit use_pallas=true on an unsupported configuration

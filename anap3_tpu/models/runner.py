@@ -35,6 +35,8 @@ import numpy as np
 __all__ = ["IterationResult", "run_fixed_point", "make_chunk_runner"]
 
 WARMUP_ITERS = 10  # convergence gate + history start (reference base.py:263-285)
+# consecutive plateaued chunks required by convergence_metric="energy"
+ENERGY_PLATEAU_CHUNKS = 3
 
 METRIC_KEYS = (
     "rel_iter",
@@ -218,11 +220,13 @@ def run_fixed_point(
     inner_metric = "rel_iter" if use_energy else convergence_metric
     inner_tol = 0.0 if use_energy else tolerance
     if chunk_runner is not None:
-        # caller-supplied fused runner (e.g. ops/pallas_chunk.py) with the
-        # same (state, start_iter, ref_norm) -> 6-tuple contract; for
-        # "energy" the caller builds it with (tolerance=0, rel_iter) —
-        # models/spectral.make_fused_paths does this mapping
-        runner = chunk_runner(chunk)
+        # caller-supplied fused-runner factory (e.g. ops/pallas_chunk.py)
+        # with the same (state, start_iter, ref_norm) -> 6-tuple contract.
+        # The factory receives the MAPPED criterion (for "energy": rel_iter
+        # with tolerance 0) so the in-kernel state machine can never
+        # self-converge on a criterion the caller opted out of — the
+        # mapping is owned here, not at each call site.
+        runner = chunk_runner(chunk, inner_tol, inner_metric)
     else:
         runner = make_chunk_runner(step_fn, get_uv, chunk, inner_tol, warmup,
                                    inner_metric)
@@ -236,6 +240,7 @@ def run_fixed_point(
         "continuity" if convergence_metric == "residual" else "rel_iter")
     energy_col = METRIC_KEYS.index("energy")
     e_prev: Optional[float] = None
+    plateau_count = 0
     best_crit = np.inf
     stall_count = 0
     log_time = 0.0
@@ -288,9 +293,16 @@ def run_fixed_point(
                 e_last = float(vals[-1])
                 if e_prev is not None and abs(e_last - e_prev) <= (
                         tolerance * max(abs(e_last), 1e-30)):
-                    converged = True
-                    iterations = it
-                    break
+                    # require consecutive plateaued chunks so a stationary
+                    # point of a non-monotone E(t) (high-Re spin-up
+                    # overshoot) cannot satisfy the test in passing
+                    plateau_count += 1
+                    if plateau_count >= ENERGY_PLATEAU_CHUNKS:
+                        converged = True
+                        iterations = it
+                        break
+                else:
+                    plateau_count = 0
                 e_prev = e_last
         # stall detection watches the rel_iter/residual criterion, whose
         # plateau is EXPECTED (not a failure) under the energy metric

@@ -62,25 +62,26 @@ def make_fused_paths(ops, params, tol):
     metric = str(getattr(params, "convergence_metric", "rel_iter"))
     if alg == "auto":
         alg = "x3"
-    # "energy" converges host-side in run_fixed_point: the in-kernel state
-    # machine runs (tolerance=0, rel_iter) so it only detects divergence
-    inner_metric = "rel_iter" if metric == "energy" else metric
-    inner_tol = 0.0 if metric == "energy" else tol
+    # Factories receive the criterion ALREADY MAPPED by run_fixed_point
+    # ("energy" arrives as rel_iter with tolerance 0 — the in-kernel state
+    # machine then only detects divergence and the plateau test runs
+    # host-side). Only the build-time tier gate needs the mapped value.
+    effective = "rel_iter" if metric == "energy" else metric
     if alg == "x6" and n <= MAX_FUSED_N:
         step = make_pallas_sg_step(ops)
         # the untiled chunk kernel implements rel_iter only
-        factory = (lambda chunk: make_pallas_chunk_runner(
-            ops, chunk, inner_tol, WARMUP_ITERS)
-        ) if inner_metric == "rel_iter" else None
+        factory = (lambda chunk, tol_, metric_: make_pallas_chunk_runner(
+            ops, chunk, tol_, WARMUP_ITERS)
+        ) if effective == "rel_iter" else None
     elif n <= MAX_TILED_N:
         step = make_tiled_sg_step(ops, algorithm=alg)
         # above the N=192 tier the conserved-quantity dots cost ~8% of the
         # step; sample them every 8th step (history rows carry the last
         # values; the 1000-point downsample is far sparser anyway)
         m_every = 1 if n <= MAX_FUSED_N else 8
-        factory = lambda chunk: make_tiled_chunk_runner(
-            ops, chunk, inner_tol, WARMUP_ITERS, algorithm=alg,
-            convergence_metric=inner_metric, metrics_every=m_every)
+        factory = lambda chunk, tol_, metric_: make_tiled_chunk_runner(
+            ops, chunk, tol_, WARMUP_ITERS, algorithm=alg,
+            convergence_metric=metric_, metrics_every=m_every)
     else:
         return None, None
     return step, factory
@@ -211,10 +212,10 @@ class SGSolver(CavitySolver):
 
         u, v, p_pad = spatial.shard_state(mesh, (u, v, p_pad))
 
-        def runner_factory(chunk):
+        def runner_factory(chunk, tol_, metric_):
             return spatial.make_sharded_chunk_runner(
-                mesh, ops_sh, chunk, tol, WARMUP_ITERS,
-                convergence_metric=self.params.convergence_metric)
+                mesh, ops_sh, chunk, tol_, WARMUP_ITERS,
+                convergence_metric=metric_)
 
         result = run_fixed_point(
             None, lambda s: (s[0], s[1]), (u, v, p_pad),

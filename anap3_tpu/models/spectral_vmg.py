@@ -181,7 +181,11 @@ def build_vmg_levels(params: SpectralParameters, n_fine: int | None = None,
     """Hierarchy from FINE (index 0) to COARSE, with per-pair transfers."""
     dtype = jnp.dtype(params.dtype)
     if coarsest_n is None:
-        coarsest_n = fas_coarsest_n(float(params.Re))
+        # resolution floor AND the Pe divergence guard: the FAS floor
+        # (~2.4*sqrt(Re)) dominates up to Re ~ 28k; beyond that the
+        # cell-Peclet bound (Pe <= 110) is the binding constraint
+        coarsest_n = max(fas_coarsest_n(float(params.Re)),
+                         default_coarsest_n(float(params.Re)))
     orders = []
     n = int(params.nx if n_fine is None else n_fine)
     for _ in range(int(params.n_levels)):
@@ -333,6 +337,14 @@ class VMGSolver(SGSolver):
                  [lv.n for lv in levels], fas_coarsest_n(float(self.params.Re)),
                  float(self.params.Re))
         _warn_if_degenerate(levels, self.params)
+        if len(levels) == 1:
+            # genuinely degenerate to single-grid SG: run the SG solve path
+            # (per-step criterion, fused chunk kernels, the requested
+            # max_iterations as FINE steps) instead of make_v_cycle's
+            # coarsest branch, which would smooth NU_COARSE steps per
+            # "cycle" against a NU1+NU2-scaled cycle budget.
+            super().solve(tolerance=tol, max_iter=max_iter)
+            return
         v_cycle = make_v_cycle(levels, self.NU1, self.NU2, self.NU_COARSE,
                                fused_steps=self._fused_steps(levels))
         # per-cycle work = nu1+nu2 fine smoothing steps; scale the cycle

@@ -432,6 +432,13 @@ def _batch_signature(cfg):
 def run_multirun(overrides):
     jobs = C.expand_multirun(REPO_ROOT / "conf", overrides)
     if jobs:
+        # jax_platforms is process-global: one pin for the whole sweep.
+        # Differing per-job values cannot be honored — surface that.
+        platforms = {job.get("platform") for job in jobs}
+        if len(platforms) > 1:
+            raise C.ConfigError(
+                f"platform differs across sweep jobs ({sorted(map(str, platforms))}): "
+                "the JAX platform is process-global and cannot vary per job")
         _pin_platform(jobs[0])
 
     # optimization path: any Interval value anywhere in the sweeper params

@@ -284,8 +284,10 @@ class TestShardedSolve:
         res = run_fixed_point(
             None, lambda s: (s[0], s[1]), (u, v, pp),
             tolerance=1e-5, max_iterations=20000, chunk=200,
-            chunk_runner=lambda chunk: spatial.make_sharded_chunk_runner(
-                mesh, ops_sh, chunk, 1e-5, 10))
+            chunk_runner=lambda chunk, tol_, metric_:
+                spatial.make_sharded_chunk_runner(
+                    mesh, ops_sh, chunk, tol_, 10,
+                    convergence_metric=metric_))
         assert res.converged
         assert res.iterations == ref.iterations  # bit-compatible criterion
         u_f, v_f, pp_f = res.state

@@ -244,6 +244,30 @@ class TestEnergyConvergence:
         np.testing.assert_allclose(np.asarray(sg_e.state.u),
                                    np.asarray(sg_ref.state.u), atol=1e-3)
 
+    def test_factory_receives_mapped_criterion(self):
+        """Fused-runner factories must get the MAPPED criterion from
+        run_fixed_point (energy -> rel_iter @ tolerance 0), so no custom
+        runner can self-converge on the criterion the user opted out of
+        (regression: the sharded path once bypassed the mapping)."""
+        from anap3_tpu.models.runner import make_chunk_runner, run_fixed_point
+
+        params = make_params(nx=12, ny=12)
+        ops, _ = core.build_spectral_ops(params)
+        seen = {}
+
+        def factory(chunk, tol_, metric_):
+            seen["tol"] = tol_
+            seen["metric"] = metric_
+            return make_chunk_runner(lambda s: core.sg_step(ops, s),
+                                     lambda s: (s.u, s.v), chunk, tol_, 10,
+                                     metric_)
+
+        run_fixed_point(
+            None, lambda s: (s.u, s.v), core.initial_state(ops),
+            tolerance=1e-4, max_iterations=600, chunk=200,
+            convergence_metric="energy", chunk_runner=factory)
+        assert seen == {"tol": 0.0, "metric": "rel_iter"}
+
     def test_unknown_metric_rejected(self):
         from anap3_tpu.models.runner import run_fixed_point
 

@@ -159,7 +159,7 @@ class TestFMGDivergenceReporting:
 
         monkeypatch.setattr(vmg_mod, "run_fixed_point", spy)
         solver = VMGSolver(params=make_params(
-            nx=16, ny=16, tolerance=1e-3, max_iterations=4000,
+            nx=24, ny=24, tolerance=1e-3, max_iterations=4000,
             convergence_metric="residual"))
         solver.solve()
         assert seen and all(m == "residual" for m in seen)
