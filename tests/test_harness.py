@@ -62,6 +62,19 @@ class TestConfig:
         assert len(jobs) == 3  # N: 16, 20, 32
         assert all(j["solver"]["_target_"].endswith("FSGSolver") for j in jobs)
 
+    def test_high_re_overlay(self):
+        jobs = C.expand_multirun(CONF, ["+experiment/validation/high_re=spectral"])
+        assert [j["Re"] for j in jobs] == [3200, 5000, 7500, 10000]
+        assert all(j["solver"]["convergence_metric"] == "energy" for j in jobs)
+        assert all(j["N"] == 256 for j in jobs)
+
+    def test_multirun_rejects_platform_mismatch(self):
+        import main as M
+
+        with pytest.raises(C.ConfigError, match="platform"):
+            M.run_multirun(["solver=spectral/sg", "N=12",
+                            "platform=cpu,tpu"])
+
     def test_interval_parsing(self):
         cfg = C.compose(CONF, ["solver=spectral/sg",
                                "solver.corner_smoothing=interval(0.02,0.35)"])
