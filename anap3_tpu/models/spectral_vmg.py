@@ -158,6 +158,17 @@ def _warn_if_degenerate(levels, params) -> None:
             int(params.nx), float(params.Re), fas_coarsest_n(float(params.Re)))
 
 
+# Ceiling for the FAS-forced (with_tau) x6 kernels: the three tau input
+# buffers on top of the x6 working set exceed VMEM at N=320 (the remote
+# Mosaic compile helper crashes); levels above this smooth via the XLA
+# step, which the V-cycle tolerates (operator-consistent at HIGHEST).
+# Practical note: an XLA fine level makes the whole-cycle jit graph
+# large — at N=320 compilation alone exceeded 45 min on the remote
+# tunnel, so N=256 is VMG's effective production ceiling (N=256 solves
+# end-to-end in ~7 min at Re=1000); use FSG/SG above it.
+MAX_TAU_N = 256
+
+
 def build_fused_tau_steps(solver, levels) -> dict | None:
     """FAS-forced fused kernels per level (the fast smoothing path).
 
@@ -170,10 +181,10 @@ def build_fused_tau_steps(solver, levels) -> dict | None:
     """
     if not solver._pallas_enabled():
         return None
-    from ..ops.pallas_tiled import MAX_TILED_N, make_tiled_sg_step
+    from ..ops.pallas_tiled import make_tiled_sg_step
 
     return {i: make_tiled_sg_step(lv.ops, algorithm="x6", with_tau=True)
-            for i, lv in enumerate(levels) if lv.n <= MAX_TILED_N}
+            for i, lv in enumerate(levels) if lv.n <= MAX_TAU_N}
 
 
 def build_vmg_levels(params: SpectralParameters, n_fine: int | None = None,
