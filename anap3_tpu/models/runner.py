@@ -58,8 +58,11 @@ class IterationResult:
     converged: bool
     diverged: bool
     wall_time: float
-    # Per-iteration histories, starting at iteration index WARMUP_ITERS
-    # (lists of floats, one entry per recorded iteration).
+    # Recorded metric histories starting at iteration index WARMUP_ITERS
+    # (lists of floats). Long runs are stride-decimated on the fly
+    # (run_fixed_point max_history_points), so entries are NOT necessarily
+    # consecutive iterations; ``history_iters`` carries each entry's global
+    # iteration index. The final (converging) iteration's row is always kept.
     history: Dict[str, List[float]]
     # Wall time of the FIRST chunk call (dominated by XLA/Mosaic compilation;
     # can be minutes on remote-compile setups). wall_time includes it, for
@@ -69,6 +72,8 @@ class IterationResult:
     # floor) and the run was cut short by stall detection. converged stays
     # False; the state is the best the working precision can produce.
     stalled: bool = False
+    # Global iteration index of each recorded history entry (see history).
+    history_iters: Optional[np.ndarray] = None
 
 
 def _rel_change(new: jnp.ndarray, old: jnp.ndarray) -> jnp.ndarray:
@@ -183,6 +188,7 @@ def run_fixed_point(
     convergence_metric: str = "rel_iter",
     chunk_runner=None,
     stall_chunks: int = 0,
+    max_history_points: int = 4000,
 ) -> IterationResult:
     """Run ``step_fn`` to convergence with reference-exact semantics.
 
@@ -202,6 +208,16 @@ def run_fixed_point(
     (observed ~2.4e-6 for FV N=128 Re=1000 f32) and can never reach a
     tighter tolerance. Disabled (0) by default: float64 runs keep the
     reference's exact semantics.
+
+    ``max_history_points`` bounds host-side history memory: when the
+    recorded rows exceed 2x the cap the buffer is stride-decimated (keep
+    every other row, double the stride) — the same scheme as
+    parallel.sweep.run_batched_sweep. The reference's contract is a
+    <=1000-point downsample at result-storage time (base.py:121,137-142);
+    keeping 4x that preserves the final linspace downsample's fidelity
+    while a 10^7-iteration run holds O(4000) rows instead of ~400 MB.
+    The converging iteration's row is always retained so ``final_*``
+    metrics stay exact.
     """
     chunk = int(min(chunk, max(1, max_iterations)))
     # "energy" metric: the per-step state machine never self-converges
@@ -231,7 +247,12 @@ def run_fixed_point(
         runner = make_chunk_runner(step_fn, get_uv, chunk, inner_tol, warmup,
                                    inner_metric)
 
-    history_rows: List[np.ndarray] = []
+    rows_buf: List[np.ndarray] = []  # variable-length (n_i, K) pieces
+    idx_buf: List[np.ndarray] = []   # matching global iteration indices
+    n_kept = 0
+    stride = 1
+    last_row: Optional[np.ndarray] = None  # most recent recorded-range row
+    last_idx = -1
     iterations = start_iteration
     converged = False
     diverged = False
@@ -268,7 +289,21 @@ def run_fixed_point(
         else:
             n_ran = min(chunk, max_iterations - it)
             iterations = it + n_ran
-        history_rows.append(rows_host[:n_ran])
+        gis = np.arange(it, it + n_ran)
+        keep = (gis >= warmup) & ((gis - warmup) % stride == 0)
+        if keep.any():
+            rows_buf.append(rows_host[:n_ran][keep])
+            idx_buf.append(gis[keep])
+            n_kept += int(keep.sum())
+        if n_ran > 0 and gis[-1] >= warmup:
+            last_row = rows_host[n_ran - 1]
+            last_idx = int(gis[-1])
+        if n_kept > 2 * max_history_points:
+            all_rows = np.concatenate(rows_buf, axis=0)[::2]
+            all_idx = np.concatenate(idx_buf)[::2]
+            rows_buf, idx_buf = [all_rows], [all_idx]
+            n_kept = all_rows.shape[0]
+            stride *= 2
 
         if log_callback is not None:
             t_log = time.time()
@@ -323,18 +358,24 @@ def run_fixed_point(
 
     wall = time.time() - t0 - log_time
 
-    all_rows = (
-        np.concatenate(history_rows, axis=0)
-        if history_rows
-        else np.zeros((0, len(METRIC_KEYS)))
-    )
-    # Reference records history only from iteration index >= warmup.
-    # all_rows holds only THIS run's rows (post-resume), so slice relative
-    # to start_iteration: on a resume past the warmup gate nothing is skipped.
-    skip = max(0, warmup - start_iteration)
-    recorded = all_rows[skip: iterations - start_iteration]
+    # Reference records history only from iteration index >= warmup
+    # (enforced by the per-chunk keep mask above). Drop rows at/after the
+    # converging iteration, and re-append the final recorded row if stride
+    # decimation dropped it (final_* metrics read history[-1]).
+    if rows_buf:
+        all_rows = np.concatenate(rows_buf, axis=0)
+        all_idx = np.concatenate(idx_buf)
+    else:
+        all_rows = np.zeros((0, len(METRIC_KEYS)))
+        all_idx = np.zeros((0,), np.int64)
+    mask = all_idx < iterations
+    all_rows, all_idx = all_rows[mask], all_idx[mask]
+    if last_row is not None and last_idx < iterations and (
+            all_idx.size == 0 or int(all_idx[-1]) != last_idx):
+        all_rows = np.concatenate([all_rows, last_row[None]], axis=0)
+        all_idx = np.concatenate([all_idx, [last_idx]])
     history = {
-        key: recorded[:, i].tolist() for i, key in enumerate(METRIC_KEYS)
+        key: all_rows[:, i].tolist() for i, key in enumerate(METRIC_KEYS)
     }
     return IterationResult(
         state=state,
@@ -345,4 +386,5 @@ def run_fixed_point(
         history=history,
         first_chunk_time=first_chunk_time,
         stalled=stalled,
+        history_iters=all_idx,
     )

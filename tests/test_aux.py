@@ -202,6 +202,49 @@ class TestRunnerResumeHistory:
         assert n_rows == 40  # all post-resume rows (100 -> 140), none dropped
 
 
+class TestRunnerHistoryBound:
+    def test_long_run_history_is_stride_decimated(self):
+        """A long run holds O(max_history_points) rows, keeps the final row,
+        and short runs record every iteration bit-identically."""
+        import jax.numpy as jnp
+        from anap3_tpu.models.runner import run_fixed_point
+
+        def step(x):
+            m = {k: jnp.sum(x) / x.size for k in
+                 ("u_eq", "v_eq", "continuity", "energy", "enstrophy",
+                  "palinstrophy")}
+            return x + 1e-9, m
+
+        res = run_fixed_point(step, lambda s: (s, s), jnp.ones((2, 2)),
+                              tolerance=1e-30, max_iterations=50_000,
+                              chunk=1000, max_history_points=2000)
+        n = len(res.history["rel_iter"])
+        assert n <= 2 * 2000 + 1          # bounded, not ~50k rows
+        assert n >= 1000                   # but still dense enough
+        iters = res.history_iters
+        assert iters[0] == 10              # warmup gate preserved
+        assert iters[-1] == 50_000 - 1     # final row always kept
+        assert (np.diff(iters) > 0).all()
+        # final_* metrics read history[-1]: must be the true last value
+        expect = 1.0 + 1e-9 * (50_000 - 1)
+        assert abs(res.history["energy"][-1] - expect) < 1e-10
+
+    def test_short_run_records_every_iteration(self):
+        import jax.numpy as jnp
+        from anap3_tpu.models.runner import run_fixed_point
+
+        def step(x):
+            m = {k: jnp.asarray(0.5) for k in
+                 ("u_eq", "v_eq", "continuity", "energy", "enstrophy",
+                  "palinstrophy")}
+            return 0.9 * x, m
+
+        res = run_fixed_point(step, lambda s: (s, s), jnp.ones((2, 2)),
+                              tolerance=1e-30, max_iterations=500, chunk=64)
+        assert len(res.history["rel_iter"]) == 500 - 10
+        assert list(res.history_iters) == list(range(10, 500))
+
+
 class TestStallDetection:
     def test_plateau_stops_early(self):
         import jax.numpy as jnp
