@@ -139,8 +139,12 @@ def run_batched_fsg(param_list: Sequence[SpectralParameters],
             "enstrophy": [float(enstrophy[k])],
             "palinstrophy": [float(palinstrophy[k])],
         }
+        # wall_time is the SHARED batch wall (all lanes ran concurrently in
+        # one device program; an even split would fabricate per-lane times
+        # the way the reference never does — it measures real per-run wall,
+        # base.py:163-169). Callers tag batched runs wall_time_scope=batch.
         results.append(IterationResult(
             state=lane_state, iterations=int(iters[k]), converged=ok,
-            diverged=bool(diverged[k]), wall_time=wall / B_lanes,
+            diverged=bool(diverged[k]), wall_time=wall,
             history=history, first_chunk_time=compile_time))
     return results

@@ -244,6 +244,18 @@ def active_run() -> Optional[Run]:
     return _state["stack"][-1] if _state["stack"] else None
 
 
+def create_detached_run(run_name: Optional[str] = None,
+                        tags: Optional[dict] = None) -> Run:
+    """Create a run that stays RUNNING in the store but is NOT attached to
+    the active-run stack — the sweep-parent pattern (reference
+    callback.py:65-134 pre-creates parents that children reference by id
+    while other runs open and close around them). Log to it later with
+    ``attach_run(run.run_id)``."""
+    run = start_run(run_name=run_name, tags=tags)
+    _state["stack"].pop()
+    return run
+
+
 class attach_run:
     """Context manager that temporarily re-attaches an EXISTING run for
     additional logging without touching its status on exit (unlike

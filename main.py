@@ -138,7 +138,7 @@ def _live_log(iteration, metrics):
 
 
 def log_solver_results(cfg: dict, solver, parent_run_id: str | None = None,
-                       run=None):
+                       run=None, extra_tags: dict | None = None):
     """Log a SOLVED solver's results (params/metrics/artifacts/tables).
 
     Returns (run_id, validation_errors). ``run`` may be an already-open run
@@ -151,6 +151,8 @@ def log_solver_results(cfg: dict, solver, parent_run_id: str | None = None,
         N_display = (cfg["N"] + 1 if solver_name.startswith("spectral")
                      else cfg["N"])
         tags = {"solver": solver_name}
+        if extra_tags:
+            tags.update(extra_tags)
         if parent_run_id:
             tags.update({"mlflow.parentRunId": parent_run_id,
                          "parent_run_id": parent_run_id, "sweep": "child"})
@@ -200,8 +202,18 @@ def log_solver_results(cfg: dict, solver, parent_run_id: str | None = None,
 
 
 def run_solver(cfg: dict, parent_run_id: str | None = None):
-    """Solve one configuration. Returns (run_id, validation_errors, solver)."""
-    solver = C.instantiate(cfg["solver"])
+    """Solve one configuration. Returns (run_id, validation_errors, solver).
+
+    Phase wall times (setup/solve/analysis) are collected with PhaseTimer
+    and logged as ``time_<phase>_seconds`` metrics — a breakdown the
+    reference never had (it only subtracts logging time from one total,
+    base.py:238-239). The plots phase is logged by generate_plots.
+    """
+    from anap3_tpu.utils.profiling import PhaseTimer, device_trace
+
+    timer = PhaseTimer()
+    with timer.phase("setup"):
+        solver = C.instantiate(cfg["solver"])
     solver_name = cfg["solver"].get("name", "solver")
     N_display = cfg["N"] + 1 if solver_name.startswith("spectral") else cfg["N"]
     run_name = f"{solver_name}_N{N_display}"
@@ -216,8 +228,9 @@ def run_solver(cfg: dict, parent_run_id: str | None = None):
     if getattr(solver, "SUPPORTS_SPATIAL_MESH", False):
         from anap3_tpu.parallel.spatial import spatial_mesh_from_config
 
-        mesh = spatial_mesh_from_config(cfg.get("machine", {}),
-                                        nf=int(cfg["N"]) + 1)
+        with timer.phase("setup"):
+            mesh = spatial_mesh_from_config(cfg.get("machine", {}),
+                                            nf=int(cfg["N"]) + 1)
         if mesh is not None:
             solver.spatial_mesh = mesh
             log.info("Spatial sharding: %d devices on the x axis",
@@ -232,18 +245,23 @@ def run_solver(cfg: dict, parent_run_id: str | None = None):
         _tag_cluster_job()
         solver._log_callback = _live_log
         log.info("Solving: %s N=%s Re=%s", solver_name, cfg["N"], cfg["Re"])
-        from anap3_tpu.utils.profiling import device_trace
 
-        with device_trace(os.environ.get("ANAP3_TRACE_DIR")):
+        with timer.phase("solve"), \
+                device_trace(os.environ.get("ANAP3_TRACE_DIR")):
             solver.solve()
-        run_id, validation_errors = log_solver_results(
-            cfg, solver, parent_run_id, run=run)
+        with timer.phase("analysis"):
+            run_id, validation_errors = log_solver_results(
+                cfg, solver, parent_run_id, run=run)
+        T.log_metrics(timer.as_metrics())
         return run_id, validation_errors, solver
 
 
 def generate_plots(cfg: dict, run_id: str, output_dir=None):
+    import time as _time
+
     from anap3_tpu.plotting import generate_plots_for_run
 
+    t0 = _time.time()
     try:
         generate_plots_for_run(
             run_id=run_id,
@@ -256,6 +274,13 @@ def generate_plots(cfg: dict, run_id: str, output_dir=None):
         )
     except Exception as exc:
         log.warning("Plotting failed (likely diverged run): %s", exc)
+        return
+    # plots run after the child run closed; re-attach to record the phase
+    try:
+        with T.attach_run(run_id):
+            T.log_metrics({"time_plots_seconds": round(_time.time() - t0, 4)})
+    except Exception as exc:
+        log.warning("Could not log plot timing: %s", exc)
 
 
 def compute_objective(cfg: dict, validation_errors: dict, solver) -> float:
@@ -299,8 +324,8 @@ def _get_or_create_parent(cfg: dict) -> str:
                                    "mlflow.runName": sweep_name})
     if existing:
         return existing[0]["run_id"]
-    run = T.start_run(run_name=sweep_name, tags={"is_parent": "true"})
-    T._state["stack"].pop()  # leave the parent open in the store, detached
+    run = T.create_detached_run(run_name=sweep_name,
+                                tags={"is_parent": "true"})
     return run.run_id
 
 
@@ -385,13 +410,19 @@ def run_multirun_batched(jobs):
             rec = res.history_iters < int(res.iterations[k])
             history = {key: res.history[key][k][rec].tolist()
                        for key in res.history}
+            # wall_time is the SHARED batch wall: lanes run concurrently in
+            # one device program, so an even split would fabricate per-lane
+            # times. Children are tagged wall_time_scope=batch and the
+            # aggregate throughput is logged on the parent run.
             lane_results.append(IterationResult(
                 state=jax.tree.map(lambda x: x[k], res.states),
                 iterations=int(res.iterations[k]),
                 converged=bool(res.converged[k]),
                 diverged=bool(res.diverged[k]),
-                wall_time=res.wall_time / len(jobs), history=history))
+                wall_time=res.wall_time, history=history))
 
+    batch_tags = {"wall_time_scope": "batch",
+                  "batch_lanes": str(len(jobs))}
     objectives = []
     parent_ids = {}
     for cfg, solver, result in zip(jobs, solvers, lane_results):
@@ -399,9 +430,18 @@ def run_multirun_batched(jobs):
         parent_ids[parent_id] = cfg
         solver.state = result.state
         solver._store_results(result)
-        run_id, errors = log_solver_results(cfg, solver, parent_id)
+        run_id, errors = log_solver_results(cfg, solver, parent_id,
+                                            extra_tags=batch_tags)
         generate_plots(cfg, run_id)
         objectives.append(compute_objective(cfg, errors, solver))
+    total_steps = sum(r.iterations for r in lane_results)
+    shared_wall = max(lane_results[0].wall_time, 1e-9)
+    for parent_id in parent_ids:
+        with T.attach_run(parent_id):
+            T.log_metrics({
+                "batch_wall_time_seconds": shared_wall,
+                "aggregate_lane_steps_per_sec": total_steps / shared_wall,
+            })
     _sweep_comparison_plots(parent_ids)
     return objectives
 

@@ -166,6 +166,10 @@ class TestMainDriver:
         assert run["params"]["Re"] == "100.0" or run["params"]["Re"] == "100"
         assert "u_L2_error" in run["metrics"]
         assert "psi_min" in run["metrics"]
+        # PhaseTimer breakdown (setup/solve/analysis + plots post-close)
+        assert float(run["metrics"]["time_solve_seconds"]) > 0
+        assert "time_setup_seconds" in run["metrics"]
+        assert "time_analysis_seconds" in run["metrics"]
         art = Path(run["path"]) / "artifacts"
         assert (art / "solution.vts").exists()
         assert (art / "config.yaml").exists()
@@ -213,9 +217,12 @@ class TestMultirunBatched:
             assert (art / "solution.vts").exists()
             assert "psi_min" in r["metrics"]
             assert "timesteps_per_sec" in r["metrics"]
+            # per-lane wall is the shared batch wall, tagged as such
+            assert r["tags"].get("wall_time_scope") == "batch"
         parents = [r for r in T.search_runs("TestBatchSweep")
                    if r["tags"].get("is_parent") == "true"]
         assert len(parents) == 1
+        assert float(parents[0]["metrics"]["aggregate_lane_steps_per_sec"]) > 0
         # comparison plots on the parent
         parent_art = Path(parents[0]["path"]) / "artifacts" / "plots"
         assert (parent_art / "ghia_comparison.pdf").exists()
