@@ -348,6 +348,13 @@ class FVSolver(CavitySolver):
         tol = self.params.tolerance if tolerance is None else tolerance
         max_iter = self.params.max_iterations if max_iter is None else max_iter
         ops = self.ops
+        # "auto" resolves to rel_iter for FV at every size: SIMPLE's
+        # under-relaxed fixed point has no measured false-convergence mode
+        # (f64 N=128 runs land 0.13-0.20% L2 from the stored truths).
+        from .spectral import resolve_convergence_metric
+
+        metric = resolve_convergence_metric(self.params,
+                                            auto_large="rel_iter")
 
         chunk_runner = None
         step = None
@@ -360,7 +367,7 @@ class FVSolver(CavitySolver):
                 step = make_pallas_fv_step(
                     self.params, ops,
                     bicgstab_iters=int(self.params.fv_inner_iters))
-                if (self.params.convergence_metric in ("rel_iter", "energy")
+                if (metric in ("rel_iter", "energy")
                         and max(int(self.params.nx),
                                 int(self.params.ny)) <= MAX_FV_CHUNK_N):
                     # whole chunks of SIMPLE iterations + the convergence
@@ -410,7 +417,7 @@ class FVSolver(CavitySolver):
             log_callback=self._log_callback,
             checkpoint_mgr=ckpt_mgr,
             start_iteration=start_iter,
-            convergence_metric=self.params.convergence_metric,
+            convergence_metric=metric,
             chunk_runner=chunk_runner,
             stall_chunks=stall,
         )
@@ -418,7 +425,7 @@ class FVSolver(CavitySolver):
             log.warning(
                 "Convergence stalled at %s=%.3e (> tol %.1e): float32 noise "
                 "floor reached after %d iterations; stopping with the best "
-                "attainable state.", self.params.convergence_metric,
+                "attainable state.", metric,
                 result.history["rel_iter"][-1] if result.history.get("rel_iter")
                 else float("nan"), tol, result.iterations)
         self.state = result.state

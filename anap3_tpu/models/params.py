@@ -64,15 +64,19 @@ class Parameters:
     # latency (important over remote-device tunnels) at the cost of up to
     # chunk_size-1 extra frozen iterations after convergence.
     chunk_size: int = 200
-    # Convergence criterion: "rel_iter" (relative iterate change; the
-    # reference's definition), "residual" (algebraic residual reduction
-    # relative to the warmup iteration; robust against the slow-dynamics
-    # false convergence that rel_iter exhibits in float32), or "energy"
+    # Convergence criterion: "auto" (default — spectral single/FSG solves
+    # resolve to "energy" at N >= 128 where the measured rel-iter
+    # false-convergence sets in [solver-study r3: FSG N=192 exits after 11
+    # fine iterations at 2.2x the converged L2]; everything else resolves
+    # to "rel_iter"), "rel_iter" (relative iterate change; the reference's
+    # definition), "residual" (algebraic residual reduction relative to
+    # the warmup iteration; robust against the slow-dynamics false
+    # convergence that rel_iter exhibits in float32), or "energy"
     # (kinetic-energy plateau: stop when |dE| over one chunk falls below
     # tolerance * |E|, tested host-side at chunk boundaries — the
     # criterion for high-Re runs whose slowest physics drift below any
     # per-step test; pairs naturally with large chunk_size).
-    convergence_metric: str = "rel_iter"
+    convergence_metric: str = "auto"
     # Plateau detection (models/runner.py): stop with stalled=True after
     # this many chunks without >2% improvement of the criterion. -1 = auto
     # (enabled at 25 chunks for float32 FV, where the criterion can floor

@@ -33,10 +33,34 @@ from ..ops.transfer import make_transfer_matrices
 
 log = logging.getLogger(__name__)
 
-__all__ = ["SGSolver", "FSGSolver"]
+__all__ = ["SGSolver", "FSGSolver", "resolve_convergence_metric"]
+
+# "auto" resolves to the energy-plateau criterion from this order upward:
+# the rel-iter false-convergence mode is measured at N >= 128 (solver-study
+# r3, STATUS.md: FSG N=192 rel-iter exits after 11 fine-level iterations at
+# 2.2x the converged L2; energy lands at the 0.099/0.075 floor).
+AUTO_ENERGY_MIN_N = 128
 
 
-def make_fused_paths(ops, params, tol):
+def resolve_convergence_metric(params, n: Optional[int] = None,
+                               auto_large: str = "energy") -> str:
+    """Resolve the ``convergence_metric`` knob ("auto" is a policy, not a
+    criterion the runner understands).
+
+    Single-grid and FSG spectral solves resolve "auto" to ``auto_large``
+    (energy) at N >= AUTO_ENERGY_MIN_N and to the reference's rel_iter
+    below; VMG passes ``auto_large="rel_iter"`` because its per-cycle
+    rel-iter (4 fine steps + a coarse solve per test) is already a sound
+    criterion at every size (criterion cross-check, STATUS.md).
+    """
+    m = str(getattr(params, "convergence_metric", "rel_iter") or "rel_iter")
+    if m != "auto":
+        return m
+    n = int(getattr(params, "nx", 0) if n is None else n)
+    return auto_large if n >= AUTO_ENERGY_MIN_N else "rel_iter"
+
+
+def make_fused_paths(ops, params, tol, metric: Optional[str] = None):
     """Select the fused TPU kernel tier for this grid size.
 
     Returns ``(step, chunk_runner_factory)`` or ``(None, None)`` when no
@@ -59,7 +83,8 @@ def make_fused_paths(ops, params, tol):
 
     n = int(ops.bc_u.shape[0]) - 1  # this level's order (FSG levels differ)
     alg = str(getattr(params, "matmul_algorithm", "auto") or "auto").lower()
-    metric = str(getattr(params, "convergence_metric", "rel_iter"))
+    if metric is None:
+        metric = resolve_convergence_metric(params)
     if alg == "auto":
         alg = "x3"
     # Factories receive the criterion ALREADY MAPPED by run_fixed_point
@@ -114,6 +139,7 @@ class SGSolver(CavitySolver):
         if self.spatial_mesh is not None:
             return self._solve_sharded(tol, max_iter)
         ops = self.ops
+        metric = resolve_convergence_metric(self.params)
 
         chunk_runner = None
         step = None
@@ -121,7 +147,8 @@ class SGSolver(CavitySolver):
             # whole chunks fused into single kernels (in-kernel stepping +
             # convergence state machine); factory is None when the selected
             # kernel tier does not support the configured metric
-            step, chunk_runner = make_fused_paths(ops, self.params, tol)
+            step, chunk_runner = make_fused_paths(ops, self.params, tol,
+                                                  metric=metric)
         if step is None:
             def step(state):
                 return core.sg_step(ops, state)
@@ -147,7 +174,7 @@ class SGSolver(CavitySolver):
             log_callback=self._log_callback,
             checkpoint_mgr=ckpt_mgr,
             start_iteration=start_iter,
-            convergence_metric=self.params.convergence_metric,
+            convergence_metric=metric,
             chunk_runner=chunk_runner,
             stall_chunks=self._stall_chunks(),
         )
@@ -224,7 +251,7 @@ class SGSolver(CavitySolver):
             log_callback=self._log_callback,
             checkpoint_mgr=ckpt_mgr,
             start_iteration=start_iter,
-            convergence_metric=self.params.convergence_metric,
+            convergence_metric=resolve_convergence_metric(self.params),
             chunk_runner=runner_factory,
             stall_chunks=self._stall_chunks(),
         )
@@ -349,6 +376,10 @@ class FSGSolver(SGSolver):
         orders = self._level_orders()
         log.info("FSG hierarchy: N = %s", orders)
         dtype = jnp.dtype(self.params.dtype)
+        # resolved ONCE from the fine order and applied to every level —
+        # the validated FSG-energy configuration converges each level to
+        # its plateau (solver-study r3)
+        metric = resolve_convergence_metric(self.params)
 
         t0 = time.time()
         total_iters = 0
@@ -375,7 +406,8 @@ class FSGSolver(SGSolver):
             step = None
             if self._pallas_enabled():
                 step, chunk_runner = make_fused_paths(ops, self.params,
-                                                      level_tol)
+                                                      level_tol,
+                                                      metric=metric)
             if step is None:
                 def step(s, _ops=ops):
                     return core.sg_step(_ops, s)
@@ -386,7 +418,7 @@ class FSGSolver(SGSolver):
                 chunk=self.params.chunk_size,
                 log_callback=self._log_callback
                 if level_idx == len(orders) - 1 else None,
-                convergence_metric=self.params.convergence_metric,
+                convergence_metric=metric,
                 chunk_runner=chunk_runner,
             )
             state = result.state

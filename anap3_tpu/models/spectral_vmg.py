@@ -49,7 +49,7 @@ import jax.numpy as jnp
 
 from .params import SpectralParameters
 from .runner import run_fixed_point, IterationResult
-from .spectral import SGSolver
+from .spectral import SGSolver, resolve_convergence_metric
 from . import spectral_sg as core
 from ..ops.basis import make_basis
 from ..ops.transfer import (fft_restriction_matrix, injection_restriction_matrix,
@@ -361,12 +361,17 @@ class VMGSolver(SGSolver):
         # per-cycle work = nu1+nu2 fine smoothing steps; scale the cycle
         # budget so max_iterations keeps its fine-step meaning
         max_cycles = max(1, max_iter // (self.NU1 + self.NU2))
+        # "auto" resolves to per-cycle rel_iter here: one V-cycle (nu1+nu2
+        # fine steps + a coarse solve) per test is already a sound criterion
+        # at every size (criterion cross-check, STATUS.md) — no energy
+        # plateau needed.
         result = run_fixed_point(
             v_cycle, lambda s: (s.u, s.v), self.state,
             tolerance=tol, max_iterations=max_cycles,
             chunk=max(1, min(50, self.params.chunk_size // (self.NU1 + self.NU2))),
             log_callback=self._log_callback,
-            convergence_metric=self.params.convergence_metric,
+            convergence_metric=resolve_convergence_metric(
+                self.params, auto_large="rel_iter"),
         )
         self.state = result.state
         self._store_results(result)
@@ -420,7 +425,8 @@ class FMGSolver(SGSolver):
                 chunk=max(1, min(50, self.params.chunk_size // 4)),
                 log_callback=self._log_callback
                 if k == len(coarse_to_fine) - 1 else None,
-                convergence_metric=self.params.convergence_metric,
+                convergence_metric=resolve_convergence_metric(
+                    self.params, auto_large="rel_iter"),
             )
             state = result.state
             total_iters += result.iterations

@@ -380,6 +380,17 @@ def run_multirun_batched(jobs):
     log.info("Batched sweep: %d lanes of %s (N=%s)", len(jobs),
              type(first).__name__, jobs[0]["N"])
 
+    if type(first).__name__ in ("SGSolver", "FSGSolver"):
+        from anap3_tpu.models.spectral import resolve_convergence_metric
+
+        m = resolve_convergence_metric(first.params)
+        if m != "rel_iter":
+            log.warning(
+                "Batched sweep lanes converge on the per-step rel_iter "
+                "criterion; convergence_metric=%s applies to single runs "
+                "only (run large-N members serially for the energy "
+                "criterion)", m)
+
     if type(first).__name__ == "FSGSolver":
         from anap3_tpu.parallel.fsg_sweep import run_batched_fsg
 

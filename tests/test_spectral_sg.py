@@ -276,6 +276,31 @@ class TestEnergyConvergence:
                             jnp.zeros(3), tolerance=1e-6, max_iterations=10,
                             convergence_metric="bogus")
 
+    def test_auto_metric_resolution(self):
+        """'auto' -> energy at N>=128 (measured rel-iter false-convergence
+        threshold), rel_iter below; explicit values pass through; VMG/FV
+        opt out via auto_large."""
+        from anap3_tpu.models.params import SpectralParameters
+        from anap3_tpu.models.spectral import resolve_convergence_metric
+
+        mk = lambda n, m="auto": SpectralParameters(
+            Re=1000.0, nx=n, ny=n, convergence_metric=m)
+        assert resolve_convergence_metric(mk(96)) == "rel_iter"
+        assert resolve_convergence_metric(mk(127)) == "rel_iter"
+        assert resolve_convergence_metric(mk(128)) == "energy"
+        assert resolve_convergence_metric(mk(256)) == "energy"
+        assert resolve_convergence_metric(mk(192, "rel_iter")) == "rel_iter"
+        assert resolve_convergence_metric(mk(64, "energy")) == "energy"
+        assert resolve_convergence_metric(
+            mk(256), auto_large="rel_iter") == "rel_iter"
+        # the runner never sees the unresolved policy value
+        from anap3_tpu.models.runner import run_fixed_point
+
+        with pytest.raises(ValueError, match="convergence_metric"):
+            run_fixed_point(lambda s: (s, {}), lambda s: (s, s),
+                            jnp.zeros(3), tolerance=1e-6, max_iterations=10,
+                            convergence_metric="auto")
+
 
 class TestPallasChunkRunner:
     def test_matches_xla_chunk_runner_including_convergence(self):
