@@ -108,13 +108,20 @@ def run_batched_sweep(step_fn, get_uv, ops, states, tolerance: float,
                       warmup: int = WARMUP_ITERS,
                       mesh: "jax.sharding.Mesh | None" = None,
                       axis_name: str = "sweep",
-                      max_history_points: int = 4000) -> SweepResult:
+                      max_history_points: int = 4000,
+                      chunk_runner=None) -> SweepResult:
     """Drive a batch of solves to convergence.
 
     With ``mesh`` given, the batch axis is sharded over ``mesh[axis_name]``
     (lanes must divide the axis size); XLA then runs the identical program on
     every chip with zero collectives — the TPU equivalent of the reference's
     embarrassingly-parallel job arrays.
+
+    ``chunk_runner`` (factory ``(chunk, tolerance, warmup) -> fn``) swaps in
+    a fused batched chunk function with the contract
+    ``fn(states, start_iter) -> (states, done, conv_iter, ever_conv, rows)``
+    — e.g. ops.pallas_lanes.make_lane_chunk_runner, which runs every lane
+    inside ONE Pallas program (single-device only; ignored under ``mesh``).
 
     Host-side history is bounded at O(lanes * max_history_points): when the
     recorded rows exceed 2x the cap, the buffer is stride-decimated (keep
@@ -124,19 +131,41 @@ def run_batched_sweep(step_fn, get_uv, ops, states, tolerance: float,
     a 128-lane x 10^6-step sweep no longer accumulates ~GB of host rows.
     """
     chunk = int(min(chunk, max(1, max_iterations)))
-    runner = make_batched_chunk_runner(step_fn, get_uv, chunk, tolerance, warmup)
+    if chunk_runner is not None and mesh is None:
+        fused = chunk_runner(chunk, tolerance, warmup)
+        runner = lambda _ops, s, it: fused(s, it)
+    else:
+        runner = make_batched_chunk_runner(step_fn, get_uv, chunk, tolerance,
+                                           warmup)
 
+    multiprocess = jax.process_count() > 1
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         def shard_leading(tree):
             def put(x):
                 spec = P(axis_name, *([None] * (x.ndim - 1)))
-                return jax.device_put(x, NamedSharding(mesh, spec))
+                sharding = NamedSharding(mesh, spec)
+                if multiprocess:
+                    # every process holds the same full value; build the
+                    # global array by handing each process its addressable
+                    # shards of it
+                    arr = np.asarray(x)
+                    return jax.make_array_from_callback(
+                        arr.shape, sharding, lambda idx: arr[idx])
+                return jax.device_put(x, sharding)
             return jax.tree.map(put, tree)
 
         ops = shard_leading(ops)
         states = shard_leading(states)
+
+    def host(x):
+        """Host-side view of a (possibly cross-process) device array."""
+        if multiprocess:
+            from jax.experimental import multihost_utils as mhu
+
+            return np.asarray(mhu.process_allgather(x, tiled=True))
+        return np.asarray(x)
 
     rows_buf: List[np.ndarray] = []  # variable-length (n_i, B, K) pieces
     idx_buf: List[np.ndarray] = []   # matching global iteration indices
@@ -148,14 +177,14 @@ def run_batched_sweep(step_fn, get_uv, ops, states, tolerance: float,
     while it < max_iterations:
         states, done, conv_iter, ever_conv, rows = runner(
             ops, states, jnp.asarray(it, jnp.int32))
-        done_h = np.asarray(done)
-        conv_accum = np.asarray(ever_conv) if conv_accum is None \
-            else (conv_accum | np.asarray(ever_conv))
+        done_h = host(done)
+        conv_accum = host(ever_conv) if conv_accum is None \
+            else (conv_accum | host(ever_conv))
         n_ran = min(chunk, max_iterations - it)
         gis = np.arange(it, it + n_ran)
         keep = (gis >= warmup) & ((gis - warmup) % stride == 0)
         if keep.any():
-            rows_buf.append(np.asarray(rows)[:n_ran][keep])  # (n, B, K)
+            rows_buf.append(host(rows)[:n_ran][keep])  # (n, B, K)
             idx_buf.append(gis[keep])
             n_kept += int(keep.sum())
         if n_kept > 2 * max_history_points:
@@ -169,11 +198,11 @@ def run_batched_sweep(step_fn, get_uv, ops, states, tolerance: float,
             break
     wall = time.time() - t0
 
-    conv_iter_h = np.asarray(conv_iter)
+    conv_iter_h = host(conv_iter)
     iterations = np.where(conv_iter_h > 0, conv_iter_h, it)
     converged = conv_accum if conv_accum is not None else np.zeros(
         iterations.shape, bool)
-    diverged = np.asarray(done) & ~converged
+    diverged = host(done) & ~converged
 
     if rows_buf:
         rows_all = np.concatenate(rows_buf, axis=0)  # (T', B, K)

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import json
 import logging
+import threading
 import shutil
 import time
 import uuid
@@ -42,8 +43,21 @@ __all__ = [
     "Run",
 ]
 
-_state = {"uri": Path("./mlruns"), "experiment_id": None, "stack": [],
-          "mlflow": None}
+_state = {"uri": Path("./mlruns"), "experiment_id": None, "mlflow": None}
+
+# The active-run stack is THREAD-LOCAL: main.py can run non-batchable sweep
+# members on a host thread pool (machine.n_jobs, mirroring the reference's
+# joblib launcher, conf/machine/local.yaml), and each worker thread must
+# attach/detach its own runs without clobbering its neighbours'. Store-level
+# state (uri, experiment, remote client) stays process-global.
+_local = threading.local()
+
+
+def _stack() -> list:
+    stack = getattr(_local, "stack", None)
+    if stack is None:
+        stack = _local.stack = []
+    return stack
 
 _REMOTE_SCHEMES = ("http://", "https://", "databricks")
 
@@ -185,26 +199,26 @@ def start_run(run_name: Optional[str] = None, tags: Optional[dict] = None,
         if run_id is not None:
             info = c.get_run(run_id).info
             run = Run(run_id, info.experiment_id, None)
-            _state["stack"].append(run)
+            _stack().append(run)
             return run
         exp_id = (experiment_id or _state["experiment_id"]
                   or set_experiment("Default"))
         all_tags = dict(tags or {})
         if run_name:
             all_tags.setdefault("mlflow.runName", run_name)
-        parent = _state["stack"][-1] if nested and _state["stack"] else None
+        parent = _stack()[-1] if nested and _stack() else None
         if parent is not None:
             all_tags.setdefault("mlflow.parentRunId", parent.run_id)
         r = c.create_run(exp_id,
                          tags={k: str(v) for k, v in all_tags.items()},
                          run_name=run_name)
         run = Run(r.info.run_id, exp_id, None)
-        _state["stack"].append(run)
+        _stack().append(run)
         return run
     if run_id is not None:  # resume existing
         path = _run_dir(run_id)
         run = Run(run_id, path.parent.name, path)
-        _state["stack"].append(run)
+        _stack().append(run)
         return run
     exp_id = experiment_id or _state["experiment_id"] or set_experiment("Default")
     rid = uuid.uuid4().hex
@@ -229,10 +243,10 @@ def start_run(run_name: Optional[str] = None, tags: Optional[dict] = None,
     }
     (path / "meta.yaml").write_text(yaml.safe_dump(meta))
     run = Run(rid, exp_id, path)
-    _state["stack"].append(run)
+    _stack().append(run)
     if run_name:
         set_tag("mlflow.runName", run_name)
-    parent = _state["stack"][-2] if nested and len(_state["stack"]) > 1 else None
+    parent = _stack()[-2] if nested and len(_stack()) > 1 else None
     if parent is not None:
         set_tag("mlflow.parentRunId", parent.run_id)
     for key, value in (tags or {}).items():
@@ -241,7 +255,7 @@ def start_run(run_name: Optional[str] = None, tags: Optional[dict] = None,
 
 
 def active_run() -> Optional[Run]:
-    return _state["stack"][-1] if _state["stack"] else None
+    return _stack()[-1] if _stack() else None
 
 
 def create_detached_run(run_name: Optional[str] = None,
@@ -252,7 +266,7 @@ def create_detached_run(run_name: Optional[str] = None,
     while other runs open and close around them). Log to it later with
     ``attach_run(run.run_id)``."""
     run = start_run(run_name=run_name, tags=tags)
-    _state["stack"].pop()
+    _stack().pop()
     return run
 
 
@@ -270,16 +284,16 @@ class attach_run:
         else:
             path = _run_dir(self.run_id)
             run = Run(self.run_id, path.parent.name, path)
-        _state["stack"].append(run)
+        _stack().append(run)
         return run
 
     def __exit__(self, exc_type, exc, tb):
-        _state["stack"].pop()
+        _stack().pop()
         return False
 
 
 def end_run(status: str = "FINISHED") -> None:
-    run = _state["stack"].pop() if _state["stack"] else None
+    run = _stack().pop() if _stack() else None
     if run is None:
         return
     c = _client()

@@ -69,6 +69,23 @@ def _pin_platform(cfg: dict) -> None:
         jax.config.update("jax_platforms", str(platform))
         log.info("Pinned JAX platform: %s", platform)
 
+
+def _init_distributed_if_configured() -> None:
+    """Multi-host entry: initialize jax.distributed BEFORE any backend use
+    when the standard coordinator env vars are set (machine=tpu-pod
+    documents the launch contract). Single-host runs are a no-op."""
+    if not (os.environ.get("JAX_COORDINATOR_ADDRESS")
+            or int(os.environ.get("JAX_NUM_PROCESSES", "0") or 0) > 1):
+        return
+    from anap3_tpu.parallel.distributed import initialize_distributed
+
+    if initialize_distributed():
+        import jax
+
+        log.info("Multi-host runtime: process %d/%d, %d global devices",
+                 jax.process_index(), jax.process_count(),
+                 len(jax.devices()))
+
 _LIVE_METRIC_NAMES = {
     "rel_iter": "rel_iter_residual",
     "u_eq": "u_residual",
@@ -256,6 +273,11 @@ def run_solver(cfg: dict, parent_run_id: str | None = None):
         return run_id, validation_errors, solver
 
 
+# matplotlib's pyplot state machine is not thread-safe; plot generation is
+# serialized even when solves run on the machine.n_jobs thread pool
+_PLOT_LOCK = __import__("threading").Lock()
+
+
 def generate_plots(cfg: dict, run_id: str, output_dir=None):
     import time as _time
 
@@ -263,15 +285,17 @@ def generate_plots(cfg: dict, run_id: str, output_dir=None):
 
     t0 = _time.time()
     try:
-        generate_plots_for_run(
-            run_id=run_id,
-            tracking_uri=cfg.get("mlflow", {}).get("tracking_uri", "./mlruns"),
-            output_dir=output_dir or Path("outputs/plots") / run_id[:8],
-            solver_name=cfg["solver"].get("name", "solver"),
-            N=cfg["N"],
-            Re=cfg["Re"],
-            data_dir=REPO_ROOT / "data",
-        )
+        with _PLOT_LOCK:
+            generate_plots_for_run(
+                run_id=run_id,
+                tracking_uri=cfg.get("mlflow", {}).get("tracking_uri",
+                                                       "./mlruns"),
+                output_dir=output_dir or Path("outputs/plots") / run_id[:8],
+                solver_name=cfg["solver"].get("name", "solver"),
+                N=cfg["N"],
+                Re=cfg["Re"],
+                data_dir=REPO_ROOT / "data",
+            )
     except Exception as exc:
         log.warning("Plotting failed (likely diverged run): %s", exc)
         return
@@ -407,13 +431,44 @@ def run_multirun_batched(jobs):
 
         import jax.numpy as jnp
 
+        # lane-batched fused kernel: every lane inside ONE Pallas program
+        # (single device, SG, fused-kernel-eligible configs). Falls back to
+        # the vmapped XLA path under a mesh, above the kernel's VMEM lane
+        # budget, or for non-cavity BC structures.
+        chunk_runner = None
+        chunk = 200
+        if (type(first).__name__ == "SGSolver" and mesh is None
+                and first._pallas_enabled()):
+            from anap3_tpu.ops import pallas_lanes as PL
+
+            ops_l = [s.ops for s in solvers]
+            n = int(jobs[0]["N"])
+            fit = PL.suggest_lane_count(n, len(ops_l))
+            if n <= PL.MAX_LANE_N and fit >= len(ops_l):
+                try:
+                    PL._validate_lanes(ops_l)
+                    chunk_runner = (
+                        lambda c, t, w: PL.make_lane_chunk_runner(
+                            ops_l, c, t, w))
+                    chunk = int(first.params.chunk_size)
+                    log.info("Lane-batched fused kernel: %d lanes in one "
+                             "Pallas program", len(ops_l))
+                except ValueError as exc:
+                    log.info("Lane-batched kernel unavailable (%s); using "
+                             "the vmapped XLA path", exc)
+            elif n <= PL.MAX_LANE_N:
+                log.info("%d lanes exceed the lane kernel's VMEM budget "
+                         "(%d fit at N=%d); using the vmapped XLA path",
+                         len(ops_l), fit, n)
+
         ops = stack_ops([s.ops for s in solvers])
         states = jax.tree.map(lambda *a: jnp.stack(a),
                               *[s.state for s in solvers])
         res = run_batched_sweep(
             step_fn, lambda s: (s.u, s.v), ops, states,
             tolerance=float(jobs[0]["tolerance"]),
-            max_iterations=int(jobs[0]["max_iterations"]), mesh=mesh)
+            max_iterations=int(jobs[0]["max_iterations"]), mesh=mesh,
+            chunk=chunk, chunk_runner=chunk_runner)
         lane_results = []
         for k in range(len(jobs)):
             # recorded columns carry their global iteration index (long
@@ -513,19 +568,49 @@ def run_multirun(overrides):
             if key not in order:
                 order.append(key)
         objectives = []
+        serial_pool = []
+
+        def flush_serial():
+            if serial_pool:
+                objectives.extend(_run_serial_jobs(serial_pool))
+                serial_pool.clear()
+
         for key in order:
             group = groups[key]
             if len(group) >= 2 and key[0] != "serial" and _batchable(group):
+                flush_serial()
                 log.info("=== batched group: %d lanes ===", len(group))
                 objectives.extend(run_multirun_batched(group))
             else:
-                objectives.extend(_run_serial_jobs(group))
+                # pool consecutive non-batchable members so machine.n_jobs
+                # host threads can run them concurrently
+                serial_pool.extend(group)
+        flush_serial()
         return objectives
 
     return _run_serial_jobs(jobs)
 
 
 def _run_serial_jobs(jobs):
+    """Run non-batchable sweep members, honoring ``machine.n_jobs``.
+
+    The reference parallelizes these with a joblib process launcher
+    (conf/machine/local.yaml:8-10); here homogeneous members ride vmapped
+    device batches instead, and the residual heterogeneous members use a
+    host THREAD pool (device work serializes on the accelerator queue
+    anyway; the tracking layer's run stack is thread-local). ``n_jobs<=1``
+    or plot_only sweeps keep the strictly serial path.
+    """
+    n_jobs = 1
+    if jobs:
+        try:
+            n_jobs = int(jobs[0].get("machine", {}).get("n_jobs", 1) or 1)
+        except (TypeError, ValueError):
+            n_jobs = 1
+    if (n_jobs > 1 and len(jobs) > 1
+            and not any(cfg.get("plot_only") for cfg in jobs)):
+        return _run_threaded_jobs(jobs, n_jobs)
+
     parent_ids = {}
     objectives = []
     for i, cfg in enumerate(jobs):
@@ -545,6 +630,39 @@ def _run_serial_jobs(jobs):
             objectives.append(float("inf"))
 
     # post-sweep comparison plots on each parent (callback.py:316-356)
+    _sweep_comparison_plots(parent_ids)
+    return objectives
+
+
+def _run_threaded_jobs(jobs, n_jobs):
+    from concurrent.futures import ThreadPoolExecutor
+
+    # parent runs are created SERIALLY first: creation mutates the global
+    # experiment state and must stay race-free (the reference pre-creates
+    # parents for the same reason, scripts/hpc_submit.py:178-180)
+    parent_ids = {}
+    job_parents = []
+    for cfg in jobs:
+        parent_id = _get_or_create_parent(cfg)
+        parent_ids[parent_id] = cfg
+        job_parents.append(parent_id)
+
+    def run_one(arg):
+        i, (cfg, parent_id) = arg
+        log.info("=== multirun job %d/%d (threaded) ===", i + 1, len(jobs))
+        try:
+            run_id, errors, solver = run_solver(cfg, parent_run_id=parent_id)
+            generate_plots(cfg, run_id)
+            return compute_objective(cfg, errors, solver)
+        except FloatingPointError as exc:
+            log.warning("Job diverged: %s", exc)
+            return float("inf")
+
+    log.info("Host-thread pool: %d jobs on %d threads (machine.n_jobs)",
+             len(jobs), n_jobs)
+    with ThreadPoolExecutor(max_workers=n_jobs) as pool:
+        objectives = list(pool.map(run_one,
+                                   enumerate(zip(jobs, job_parents))))
     _sweep_comparison_plots(parent_ids)
     return objectives
 
@@ -666,6 +784,7 @@ def main(argv=None):
         else:
             overrides.append(a)
 
+    _init_distributed_if_configured()
     if multirun:
         return run_multirun(overrides)
 

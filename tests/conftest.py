@@ -32,6 +32,23 @@ if str(REPO_ROOT) not in sys.path:
 import pytest  # noqa: E402
 
 
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow", action="store_true", default=False,
+        help="run tests marked slow (long end-to-end solves; the default "
+             "tier must finish in <5 min on a 1-core host)")
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--runslow") or "slow" in (
+            config.getoption("-m") or ""):
+        return
+    skip = pytest.mark.skip(reason="slow tier: pass --runslow (or -m slow)")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
+
 @pytest.fixture(scope="session")
 def repo_root() -> Path:
     return REPO_ROOT

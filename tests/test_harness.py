@@ -236,6 +236,32 @@ class TestMultirunBatched:
                                    ["solver=spectral/sg", "N=8,12"])
         assert not M._batchable(jobs)  # differing N -> no shared operators
 
+    def test_threaded_heterogeneous_sweep(self, tmp_path, monkeypatch):
+        """machine.n_jobs>1 runs non-batchable members on host threads;
+        every child run still lands under the right parent with its own
+        params (thread-local run stacks)."""
+        monkeypatch.chdir(tmp_path)
+        import main as M
+
+        objectives = M.main([
+            "-m", "solver=spectral/sg", "N=8,12", "Re=100",
+            "tolerance=1e-3", "max_iterations=300", "machine.n_jobs=2",
+            "experiment_name=TestThreaded", "sweep_name=threaded-sweep",
+            "mlflow.tracking_uri=" + str(tmp_path / "mlruns"),
+        ])
+        assert len(objectives) == 2
+        runs = T.search_runs("TestThreaded", status="FINISHED")
+        children = [r for r in runs if r["tags"].get("sweep") == "child"]
+        assert len(children) == 2
+        Ns = sorted(int(float(r["params"]["nx"])) for r in children)
+        assert Ns == [8, 12]
+        parents = [r for r in T.search_runs("TestThreaded")
+                   if r["tags"].get("is_parent") == "true"]
+        assert len(parents) == 1
+        for r in children:
+            assert r["tags"]["mlflow.parentRunId"] == parents[0]["run_id"]
+            assert "time_solve_seconds" in r["metrics"]
+
 
 class TestOptimizationDriver:
     def test_corner_smoothing_optimization_e2e(self, tmp_path, monkeypatch):

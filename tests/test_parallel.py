@@ -327,3 +327,23 @@ class TestShardedSolve:
         assert spatial_mesh_from_config({"mesh_axes": ["sweep"]}, nf=16) is None
         mesh13 = spatial_mesh_from_config({"mesh_axes": ["x"]}, nf=13)
         assert mesh13 is None  # 13 rows: no usable divisor > 1
+
+
+class TestCrossProcessDistributed:
+    @pytest.mark.slow
+    def test_two_process_sweep_dryrun(self):
+        """The jax.distributed multi-host code path, exercised with two
+        LOCAL processes over a loopback coordinator: global mesh spans both
+        processes' devices, lanes shard across it, and every process sees
+        identical SPMD results (parallel/distributed.py; SURVEY §2.8(c))."""
+        from anap3_tpu.parallel.distributed import (
+            launch_local_distributed_dryrun)
+
+        res = launch_local_distributed_dryrun(num_processes=2,
+                                              devices_per_process=2, n=12)
+        assert len(res) == 2
+        for r in res:
+            assert r["process_count"] == 2
+            assert r["global_devices"] == 4
+            assert r["converged"] == r["lanes"] == 4
+        assert res[0]["iterations"] == res[1]["iterations"]
