@@ -109,14 +109,18 @@ class _DotEngine:
         """Split a state operand once for reuse in several dots."""
         return _split_hi_lo(value) if self.x3 else value
 
-    def left(self, op_name, cached):
-        """operator @ state for a cached state operand."""
+    def left(self, op_name, cached, rows=slice(None)):
+        """operator @ state for a cached state operand (row block).
+
+        ``rows`` selects a sublane-aligned row block of the cached operand
+        (the lane-batched kernel stores B lanes row-stacked and issues
+        per-lane left dots against a shared operator)."""
         if not self.x3:
-            return _f32_dot(self.ops[op_name][:], cached)
+            return _f32_dot(self.ops[op_name][:], cached[rows])
         o_hi, o_lo = self.ops[op_name + "_hi"], self.ops[op_name + "_lo"]
         b_hi, b_lo = cached
-        return (_bf16_dot(o_hi[:], b_hi) + _bf16_dot(o_hi[:], b_lo)
-                + _bf16_dot(o_lo[:], b_hi))
+        return (_bf16_dot(o_hi[:], b_hi[rows]) + _bf16_dot(o_hi[:], b_lo[rows])
+                + _bf16_dot(o_lo[:], b_hi[rows]))
 
     def right(self, cached, op_name, rows=slice(None)):
         """state @ operator for a cached state operand (row block)."""

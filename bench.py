@@ -26,6 +26,20 @@ STEPS_PER_CALL = 500
 TARGET_SECONDS = 6.0
 
 
+def _sync(x) -> float:
+    """Hard device sync via a host transfer.
+
+    This image's remote-TPU platform can return from
+    ``jax.block_until_ready`` before deeply-queued work has executed
+    (measured: 10 chained 1000-step chunks "completed" in 2 ms), which
+    fabricates throughput numbers. A device->host copy of a reduction
+    cannot lie: the scalar's value depends on every queued step.
+    """
+    import jax.numpy as jnp
+
+    return float(jnp.sum(jnp.where(jnp.isfinite(x), x, 0.0)))
+
+
 def _enable_compile_cache():
     """Persistent XLA compile cache — first-compile over the remote-compile
     tunnel costs minutes; cached reruns cost milliseconds."""
@@ -85,7 +99,7 @@ def bench_device() -> tuple[float, dict]:
     # compile + warmup
     t0 = time.time()
     state = run_chunk(state, jnp.int32(0), ref)
-    jax.block_until_ready(state.u)
+    _sync(state.u)
     compile_s = time.time() - t0
 
     # timed region: at least TARGET_SECONDS of steady-state stepping.
@@ -99,8 +113,8 @@ def bench_device() -> tuple[float, dict]:
         it += STEPS_PER_CALL
         n_calls += 1
         if n_calls % 40 == 0:
-            jax.block_until_ready(state.u)
-    jax.block_until_ready(state.u)
+            _sync(state.u)
+    _sync(state.u)
     elapsed = time.time() - t0
     steps = n_calls * STEPS_PER_CALL
     rate = steps / elapsed
@@ -236,7 +250,7 @@ def bench_fv() -> dict:
 
     t0 = time.time()
     state = run_chunk(st0)
-    jax.block_until_ready(state.u)
+    _sync(state.u)
     compile_s = time.time() - t0
 
     n_calls = 0
@@ -245,8 +259,8 @@ def bench_fv() -> dict:
         state = run_chunk(state)
         n_calls += 1
         if n_calls % 8 == 0:
-            jax.block_until_ready(state.u)
-    jax.block_until_ready(state.u)
+            _sync(state.u)
+    _sync(state.u)
     rate = n_calls * CHUNK / (time.time() - t0)
     return {
         "fv_N128_simple_iters_per_sec": round(rate, 1),
@@ -282,7 +296,7 @@ def bench_stretch(n: int = 256) -> dict:
     ref = jnp.asarray(jnp.inf, jnp.float32)
     t0 = time.time()
     state, *_ = runner(state, jnp.int32(0), ref)
-    jax.block_until_ready(state.u)
+    _sync(state.u)
     compile_s = time.time() - t0
     n_calls, it = 0, CH
     t0 = time.time()
@@ -291,8 +305,8 @@ def bench_stretch(n: int = 256) -> dict:
         it += CH
         n_calls += 1
         if n_calls % 4 == 0:
-            jax.block_until_ready(state.u)
-    jax.block_until_ready(state.u)
+            _sync(state.u)
+    _sync(state.u)
     rate = n_calls * CH / (time.time() - t0)
     return {
         f"spectral_N{n}_steps_per_sec": round(rate, 1),

@@ -152,6 +152,29 @@ class TestTPE:
 
 
 class TestMainDriver:
+    def test_single_run_fast_no_plots(self, tmp_path, monkeypatch):
+        """Fast-tier e2e: solve -> track -> validate -> objective with plot
+        generation stubbed out (plots dominate wall time ~20x and are
+        covered by the slow-tier test below)."""
+        monkeypatch.chdir(tmp_path)
+        import main as M
+
+        monkeypatch.setattr(M, "generate_plots", lambda *a, **k: None)
+        obj = M.main(["solver=fv", "N=10", "Re=100", "tolerance=1e-4",
+                      "max_iterations=800", "experiment_name=TestFastE2E",
+                      "mlflow.tracking_uri=" + str(tmp_path / "mlruns")])
+        assert np.isfinite(obj)
+        runs = T.search_runs("TestFastE2E", status="FINISHED")
+        assert len(runs) == 1
+        run = runs[0]
+        assert "u_L2_error" in run["metrics"]
+        assert "psi_min" in run["metrics"]
+        assert float(run["metrics"]["time_solve_seconds"]) > 0
+        art = Path(run["path"]) / "artifacts"
+        assert (art / "solution.vts").exists()
+        assert (art / "validation_metrics.json").exists()
+
+    @pytest.mark.slow
     def test_single_run_end_to_end(self, tmp_path, monkeypatch):
         monkeypatch.chdir(tmp_path)
         import main as M
@@ -178,6 +201,7 @@ class TestMainDriver:
         assert (art / "plots" / "ghia_comparison.pdf").exists()
         assert (art / "plots" / "streamlines.png").exists()
 
+    @pytest.mark.slow
     def test_plot_only_finds_existing_run(self, tmp_path, monkeypatch):
         monkeypatch.chdir(tmp_path)
         import main as M
@@ -191,6 +215,7 @@ class TestMainDriver:
 
 
 class TestMultirunBatched:
+    @pytest.mark.slow
     def test_batched_sweep_end_to_end(self, tmp_path, monkeypatch):
         """A homogeneous Re sweep runs as ONE vmapped batch and logs every
         lane as its own tracked child run with artifacts."""
@@ -236,6 +261,7 @@ class TestMultirunBatched:
                                    ["solver=spectral/sg", "N=8,12"])
         assert not M._batchable(jobs)  # differing N -> no shared operators
 
+    @pytest.mark.slow
     def test_threaded_heterogeneous_sweep(self, tmp_path, monkeypatch):
         """machine.n_jobs>1 runs non-batchable members on host threads;
         every child run still lands under the right parent with its own
@@ -264,6 +290,7 @@ class TestMultirunBatched:
 
 
 class TestOptimizationDriver:
+    @pytest.mark.slow
     def test_corner_smoothing_optimization_e2e(self, tmp_path, monkeypatch):
         """Interval() overrides route to the TPE loop; trials + summary land
         on the parent run."""
@@ -317,6 +344,7 @@ class TestGroupReselection:
 
 
 class TestGroupedBatching:
+    @pytest.mark.slow
     def test_mixed_sweep_batches_homogeneous_groups(self, tmp_path,
                                                     monkeypatch):
         """fv x spectral x Re sweep: each (solver) group rides one batch."""

@@ -169,6 +169,7 @@ class TestGraftEntry:
 
 
 class TestBatchedFSG:
+    @pytest.mark.slow
     def test_batched_fsg_matches_per_lane(self):
         """Batched FSG lanes reproduce the standalone FSG solver physics."""
         from anap3_tpu.models.spectral import FSGSolver
@@ -191,6 +192,7 @@ class TestBatchedFSG:
         np.testing.assert_allclose(np.asarray(results[0].state.u),
                                    np.asarray(solo.state.u), atol=5e-3)
 
+    @pytest.mark.slow
     def test_main_dispatches_fsg_batch(self, tmp_path, monkeypatch):
         monkeypatch.chdir(tmp_path)
         import main as M
