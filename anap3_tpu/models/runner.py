@@ -270,21 +270,38 @@ def run_fixed_point(
     it = start_iteration
     first_chunk_time = 0.0
     ref_norm = jnp.asarray(jnp.inf, dtype=jnp.result_type(float))
-    while it < max_iterations:
-        t_chunk = time.time()
-        state, done, conv_iter, chunk_converged, rows, ref_norm = runner(
-            state, jnp.asarray(it, dtype=jnp.int32), ref_norm
-        )
-        done_host = bool(done)
+    # Speculative chunk pipelining: chunk k+1 is DISPATCHED before chunk
+    # k's flags are read back, so the host->device tunnel's sync latency
+    # (~100-250 ms on this image's remote platform — comparable to a whole
+    # 5000-step chunk of the aligned N=128 kernel) overlaps with device
+    # compute. This is exact, not approximate: the in-kernel convergence
+    # machine freezes a done state (no further commits), so a speculated
+    # chunk past convergence is a no-op whose outputs are simply dropped,
+    # and the functional state pytrees keep chunk k's result intact.
+    t_chunk = time.time()
+    cur = None
+    if it < max_iterations:
+        cur = runner(state, jnp.asarray(it, dtype=jnp.int32), ref_norm)
+    while cur is not None:
+        state_k, done, conv_iter, chunk_converged, rows, ref_k = cur
+        nxt = None
+        if it + chunk < max_iterations:
+            nxt = runner(state_k, jnp.asarray(it + chunk, dtype=jnp.int32),
+                         ref_k)
+        # one bundled device->host read for chunk k's control flow
+        done_host, conv_iter_host, conv_flag, rows_host = jax.device_get(
+            (done, conv_iter, chunk_converged, rows))
+        done_host = bool(done_host)
+        conv_iter_host = int(conv_iter_host)
+        rows_host = np.asarray(rows_host)
+        state = state_k
         if first_chunk_time == 0.0:
             first_chunk_time = time.time() - t_chunk
-        conv_iter_host = int(conv_iter)
-        rows_host = np.asarray(rows)
 
         if done_host:
             n_ran = conv_iter_host - it
             iterations = conv_iter_host
-            converged = bool(chunk_converged)
+            converged = bool(conv_flag)
             diverged = not converged
         else:
             n_ran = min(chunk, max_iterations - it)
@@ -320,7 +337,7 @@ def run_fixed_point(
             checkpoint_mgr.maybe_save(state, it)
             log_time += time.time() - t_ck
         if done_host:
-            break
+            break  # speculative chunk (if any) is dropped; state is chunk k's
         if use_energy and it > warmup:
             vals = rows_host[:n_ran, energy_col]
             vals = vals[np.isfinite(vals)]
@@ -355,6 +372,7 @@ def run_fixed_point(
                     stalled = True
                     iterations = it
                     break
+        cur = nxt
 
     wall = time.time() - t0 - log_time
 

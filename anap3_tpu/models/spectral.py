@@ -77,6 +77,8 @@ def make_fused_paths(ops, params, tol, metric: Optional[str] = None):
     """
     from ..ops.pallas_step import MAX_FUSED_N, make_pallas_sg_step
     from ..ops.pallas_chunk import make_pallas_chunk_runner
+    from ..ops.pallas_aligned import (aligned_supported,
+                                      make_aligned_chunk_runner)
     from ..ops.pallas_tiled import (MAX_TILED_N, make_tiled_chunk_runner,
                                     make_tiled_sg_step)
     from .runner import WARMUP_ITERS
@@ -98,6 +100,15 @@ def make_fused_paths(ops, params, tol, metric: Optional[str] = None):
         factory = (lambda chunk, tol_, metric_: make_pallas_chunk_runner(
             ops, chunk, tol_, WARMUP_ITERS)
         ) if effective == "rel_iter" else None
+    elif aligned_supported(n):
+        # bordered-core MXU-aligned tier (N in {128, 256}): state rides a
+        # 128-aligned core, borders are per-run constants — ~4x the tiled
+        # rate at N=128 (183k vs 48k steps/s), ~2x at N=256 (28.8k)
+        step = make_tiled_sg_step(ops, algorithm=alg)
+        m_every = 1 if n <= MAX_FUSED_N else 8
+        factory = lambda chunk, tol_, metric_: make_aligned_chunk_runner(
+            ops, chunk, tol_, WARMUP_ITERS, algorithm=alg,
+            convergence_metric=metric_, metrics_every=m_every)
     elif n <= MAX_TILED_N:
         step = make_tiled_sg_step(ops, algorithm=alg)
         # above the N=192 tier the conserved-quantity dots cost ~8% of the

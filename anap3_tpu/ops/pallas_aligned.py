@@ -1,0 +1,496 @@
+"""MXU-aligned bordered-core chunk kernel for N in {128, 256}.
+
+The tiled kernels (ops/pallas_tiled.py) pad the (N+1)-point grid to the
+next 32 multiple: at N=128 every dot runs at (320,160)@(160,160) = 12 MXU
+tile passes for ~1 tile of useful work, and the measured step rate sits
+exactly at the MXU pass-issue bound (48.4k steps/s = 1060 passes x 19.5 ns
+at N=128) — the headline size wastes ~6x of its MXU issue slots on
+ceil(129/128) padding.
+
+This module removes the padding instead of paying it. The key observation:
+in the cavity problem every BORDER value of the state is a per-run
+CONSTANT — u's last column is the (corner-treated) lid profile, u's last
+row and all of v's borders are 0, and the PN-PN-2 pressure lives strictly
+inside the grid (reference src/solvers/spectral/sg.py:103-119,348-385; BCs
+re-enforced after every stage keep them constant). Splitting each
+(N+1)-point axis as [core = first N points | border = last point], the
+whole RK4 update of the evolving core needs ONLY:
+
+- core x core dots — (N, N) operands, perfectly tiled on the MXU
+  (2 passes where the padded kernel pays 12 at N=128);
+- plus per-run constants: the lid column's contribution to a right
+  product is ``lid (x) D[border, :core]`` — a rank-1 matrix precomputed on
+  the host (CU2) and added with one VPU op; every other border term of
+  the core residuals is exactly zero (v and p borders vanish, and the
+  embedded inner-grid pressure operators have a zero border row).
+
+Border values of the residuals/fields are needed only for diagnostics —
+the last-stage residual norms (reference _compute_algebraic_residuals,
+base.py:259-261) and the conserved-quantity quadratures (sg.py:495-550)
+sum over the FULL grid. Those border strips are completed exactly, once
+per step, from a handful of thin (8,N)x(N,N) / (N,N)x(N,8) dots plus
+precomputed constant strips — a few extra MXU passes instead of a 6x tax
+on every stage dot.
+
+Same contract and state machine as ops/pallas_tiled.make_tiled_chunk_runner
+(rel_iter + residual criteria, warmup gate, NaN freeze, metrics_every);
+drop-in at the sizes it supports. The x3 bf16 decomposition is the
+production algorithm; "x6" (f32 HIGHEST) is available for validation.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..models.spectral_sg import SpectralOps, SpectralState
+from .pallas_tiled import _DotEngine, _RK4_ALPHAS, N_COLS
+
+__all__ = ["make_aligned_chunk_runner", "aligned_supported", "MAX_ALIGNED_N"]
+
+# VMEM ceiling: at N=256 the working set is ~8.5 MB; N=384 would need ~19 MB.
+MAX_ALIGNED_N = 256
+
+_MAT_NAMES = ("DX2", "PX2", "DY2", "Dx", "DyT", "IyT", "GyT",
+              "RCOLS", "LROWS")
+
+# SMEM scalar layout (1, 16)
+(_NU, _BETA, _CFL, _LID, _IDX, _IDY, _LIDB, _DYT_BB, _DYYT_BB,
+ _UBORD_SQ, _E_BORD, _CONV_BB, _LAPU_BB, _OM_BB, _WBB, _DX_BB) = range(16)
+
+# CCOL column layout (nc, 128): per-run constant COLUMN strips
+(_C_LID, _C_DUDX, _C_DUDXX, _C_WCOL, _C_DXCB, _C_IYTCB, _C_GYTCB,
+ _C_DYTCB) = range(8)
+
+# CROW row layout (8, nc): per-run constant ROW strips
+(_R_DYTBC, _R_DUDYY, _R_WROW) = range(3)
+
+
+def aligned_supported(n: int) -> bool:
+    """True when the bordered-core kernel covers polynomial order ``n``."""
+    return n % 128 == 0 and 0 < n <= MAX_ALIGNED_N
+
+
+def _prep_aligned(ops: SpectralOps, algorithm: str):
+    """Host-side: core operator blocks, thin border operators, constants."""
+    nf = ops.bc_u.shape[0]
+    nc = nf - 1
+    ni = nf - 2
+    if not aligned_supported(nc):
+        raise ValueError(
+            f"aligned kernel supports N % 128 == 0, N <= {MAX_ALIGNED_N} "
+            f"(got N={nc})")
+
+    A = lambda x: np.asarray(x, np.float64)
+    Dx, DyT = A(ops.Dx), A(ops.DyT)
+    Dxx, DyyT = A(ops.Dxx), A(ops.DyyT)
+    # embedded inner-grid pressure operators (full-grid form, ring offset 1)
+    Gxe = np.zeros((nf, nf))
+    Gxe[:, 1:1 + ni] = A(ops.Gx)
+    Ixe = np.zeros((nf, nf))
+    Ixe[:, 1:1 + ni] = A(ops.Ix)
+    IyTe = np.zeros((nf, nf))
+    IyTe[1:1 + ni, :] = A(ops.IyT)
+    GyTe = np.zeros((nf, nf))
+    GyTe[1:1 + ni, :] = A(ops.GyT)
+
+    cc = lambda a: a[:nc, :nc]
+    raw = {
+        "DX2": np.vstack([cc(Dx), cc(Dxx)]),
+        "PX2": np.vstack([cc(Gxe), cc(Ixe)]),
+        "DY2": np.hstack([cc(DyT), cc(DyyT)]),
+        "Dx": cc(Dx), "DyT": cc(DyT), "IyT": cc(IyTe), "GyT": cc(GyTe),
+    }
+    # thin border operators: RCOLS packs the border COLUMNS the right-side
+    # thin dots contract into; LROWS the border ROWS for left-side thins
+    rcols = np.zeros((nc, 128))
+    rcols[:, 0] = DyT[:nc, nc]
+    rcols[:, 1] = DyyT[:nc, nc]
+    rcols[:, 2] = IyTe[:nc, nc]
+    rcols[:, 3] = GyTe[:nc, nc]
+    raw["RCOLS"] = rcols
+    lrows = np.zeros((8, nc))
+    lrows[0] = Dx[nc, :nc]
+    lrows[1] = Dxx[nc, :nc]
+    lrows[2] = Gxe[nc, :nc]
+    lrows[3] = Ixe[nc, :nc]
+    raw["LROWS"] = lrows
+
+    mats = {}
+    for name in _MAT_NAMES:
+        a32 = raw[name].astype(np.float32)
+        if algorithm == "x3":
+            hi = a32.astype(jnp.bfloat16)
+            lo = (a32 - np.asarray(hi, np.float32)).astype(jnp.bfloat16)
+            mats[name + "_hi"] = jnp.asarray(hi)
+            mats[name + "_lo"] = jnp.asarray(lo)
+        else:
+            mats[name] = jnp.asarray(a32)
+
+    lid = A(ops.bc_u)[:, nf - 1]       # u's last column (lid profile)
+    lidc, lidb = lid[:nc], float(lid[nc])
+    W2d = A(ops.W2d)
+
+    # lid column's rank-1 contribution to RU = u @ [DyT | DyyT]
+    cu2 = np.outer(lidc, np.concatenate([DyT[nc, :nc], DyyT[nc, :nc]]))
+    mats["CU2"] = jnp.asarray(cu2, jnp.float32)
+
+    ccol = np.zeros((nc, 128))
+    ccol[:, _C_LID] = lidc
+    ccol[:, _C_DUDX] = Dx[:nc, :nc] @ lidc + Dx[:nc, nc] * lidb
+    ccol[:, _C_DUDXX] = Dxx[:nc, :nc] @ lidc + Dxx[:nc, nc] * lidb
+    ccol[:, _C_WCOL] = W2d[:nc, nc]
+    ccol[:, _C_DXCB] = Dx[:nc, nc]
+    ccol[:, _C_IYTCB] = IyTe[:nc, nc]
+    ccol[:, _C_GYTCB] = GyTe[:nc, nc]
+    ccol[:, _C_DYTCB] = DyT[:nc, nc]
+    mats["CCOL"] = jnp.asarray(ccol, jnp.float32)
+
+    crow = np.zeros((8, nc))
+    crow[_R_DYTBC] = DyT[nc, :nc]
+    crow[_R_DUDYY] = lidb * DyyT[nc, :nc]
+    crow[_R_WROW] = W2d[nc, :nc]
+    mats["CROW"] = jnp.asarray(crow, jnp.float32)
+
+    mats["interior"] = jnp.asarray(
+        A(ops.interior)[:nc, :nc], jnp.float32)
+    mats["W2d"] = jnp.asarray(W2d[:nc, :nc], jnp.float32)
+
+    c_dudx_bb = float(Dx[nc, :nc] @ lidc + Dx[nc, nc] * lidb)
+    c_dudxx_bb = float(Dxx[nc, :nc] @ lidc + Dxx[nc, nc] * lidb)
+    scal = np.zeros(16)
+    scal[_NU] = float(ops.nu)
+    scal[_BETA] = float(ops.beta_sq)
+    scal[_CFL] = float(ops.CFL)
+    scal[_LID] = float(ops.lid_velocity)
+    scal[_IDX] = float(ops.inv_dx_min)
+    scal[_IDY] = float(ops.inv_dy_min)
+    scal[_LIDB] = lidb
+    scal[_DYT_BB] = DyT[nc, nc]
+    scal[_DYYT_BB] = DyyT[nc, nc]
+    scal[_UBORD_SQ] = float(np.sum(lidc**2) + lidb**2)
+    scal[_E_BORD] = 0.5 * float(W2d[:nc, nc] @ lidc**2
+                                + W2d[nc, nc] * lidb**2)
+    scal[_CONV_BB] = lidb * c_dudx_bb
+    scal[_LAPU_BB] = c_dudxx_bb + lidb * DyyT[nc, nc]
+    scal[_OM_BB] = -lidb * DyT[nc, nc]
+    scal[_WBB] = W2d[nc, nc]
+    scal[_DX_BB] = Dx[nc, nc]
+    return mats, jnp.asarray(scal, jnp.float32).reshape(1, 16), nf, ni, nc
+
+
+def _corner_dot(row, col):
+    """(1, nc) x (nc, 1) -> scalar, full f32 accuracy (single tiny dot)."""
+    return jax.lax.dot_general(
+        row, col, dimension_numbers=(((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)[0, 0]
+
+
+def make_aligned_chunk_runner(ops: SpectralOps, chunk: int, tolerance: float,
+                              warmup: int, interpret: bool = False,
+                              algorithm: str = "x3",
+                              convergence_metric: str = "rel_iter",
+                              metrics_every: int = 1):
+    """Drop-in for make_tiled_chunk_runner at N in {128, 256}.
+
+    Same contract: ``chunk_fn(state, start_iter, ref_norm) -> (state, done,
+    conv_iter, converged, rows, ref_norm)`` with rows (chunk, N_COLS) in
+    runner.METRIC_KEYS order.
+    """
+    if algorithm not in ("x3", "x6"):
+        raise ValueError(f"unknown matmul algorithm {algorithm!r}")
+    use_residual = convergence_metric == "residual"
+    metrics_every = max(1, int(metrics_every))
+    mats, scal, nf, ni, nc = _prep_aligned(ops, algorithm)
+    f32 = jnp.float32
+    mat_names = list(mats)
+    n_mats = len(mat_names)
+    chunk = int(chunk)
+
+    def kernel(*args):
+        refs = dict(zip(mat_names, args[:n_mats]))
+        (u_in, v_in, p_in, scal_ref, iscal_ref, rnorm_ref,
+         u_out, v_out, p_out, rows_out, state_out, rnorm_out,
+         su, sv, sp, bu, bv, bp, LU, LV, LP) = args[n_mats:]
+
+        eng = _DotEngine(algorithm, refs)
+        start_iter = iscal_ref[0, 0]
+        u_out[:] = u_in[:]
+        v_out[:] = v_in[:]
+        p_out[:] = p_in[:]
+
+        intr = refs["interior"][:]
+        w2d = refs["W2d"][:]
+        cu2 = refs["CU2"][:]
+        ccol = refs["CCOL"]
+        crow = refs["CROW"]
+        s = lambda i: scal_ref[0, i]
+        nu = s(_NU)
+        beta_sq = s(_BETA)
+        lidb = s(_LIDB)
+
+        def col(i):
+            return ccol[:, i:i + 1]
+
+        def row(i):
+            return crow[i:i + 1, :]
+
+        def run_stage(adt, accumulate: bool):
+            """One RK stage on the core; returns border-complete residual
+            norm accumulators when ``accumulate`` (the last stage)."""
+            u_c = eng.cache(su[:])
+            v_c = eng.cache(sv[:])
+            p_c = eng.cache(sp[:])
+            LU[:] = eng.left("DX2", u_c)      # [Dx@u ; Dxx@u] core
+            LV[:] = eng.left("DX2", v_c)
+            LP[:] = eng.left("PX2", p_c)      # [a5 ; a6] core
+            a5_c = eng.cache(LP[0:nc, :])
+            a6_c = eng.cache(LP[nc:2 * nc, :])
+
+            RU = eng.right(u_c, "DY2") + cu2  # lid rank-1 completion
+            RV = eng.right(v_c, "DY2")
+            dpx = eng.right(a5_c, "IyT")
+            dpy = eng.right(a6_c, "GyT")
+
+            u_b = su[:]
+            v_b = sv[:]
+            du_dx = LU[0:nc, :]
+            dv_dx = LV[0:nc, :]
+            du_dy = RU[:, 0:nc]
+            dv_dy = RV[:, 0:nc]
+            lap_u = LU[nc:2 * nc, :] + RU[:, nc:2 * nc]
+            lap_v = LV[nc:2 * nc, :] + RV[:, nc:2 * nc]
+            R_u = -(u_b * du_dx + v_b * du_dy) - dpx + nu * lap_u
+            R_v = -(u_b * dv_dx + v_b * dv_dy) - dpy + nu * lap_v
+            R_p = -beta_sq * (du_dx + dv_dy) * intr
+
+            su[:] = jnp.where(intr > 0.5, bu[:] + adt * R_u, 0.0)
+            sv[:] = jnp.where(intr > 0.5, bv[:] + adt * R_v, 0.0)
+            sp[:] = bp[:] + adt * R_p
+            if not accumulate:
+                return None
+
+            # ---- full-grid residual norms: core + exact border strips ----
+            acc_u = jnp.sum(R_u * R_u)
+            acc_v = jnp.sum(R_v * R_v)
+            acc_p = jnp.sum(R_p * R_p)   # interior-masked: borders are 0
+
+            TU = eng.right(u_c, "RCOLS")     # cols: u@DyT_cb, u@DyyT_cb
+            TV = eng.right(v_c, "RCOLS")
+            T5 = eng.right(a5_c, "RCOLS")    # col 2: dpx column strip
+            T6 = eng.right(a6_c, "RCOLS")    # col 3: dpy column strip
+            Lu8 = eng.left("LROWS", u_c)     # rows: Dx_bc@u, Dxx_bc@u
+            Lv8 = eng.left("LROWS", v_c)
+            Lp8 = eng.left("LROWS", p_c)     # rows 2,3: a5_bc, a6_bc
+
+            # column strip (j = N): u = lid (const), v = 0
+            du_dyy_cb = TU[:, 1:2] + col(_C_LID) * s(_DYYT_BB)
+            R_u_cb = (-col(_C_LID) * col(_C_DUDX) - T5[:, 2:3]
+                      + nu * (col(_C_DUDXX) + du_dyy_cb))
+            R_v_cb = -T6[:, 3:4] + nu * TV[:, 1:2]
+            # row strip (i = N): u = v = 0 there, convection vanishes
+            a5_bc = Lp8[2:3, :]
+            a6_bc = Lp8[3:4, :]
+            dpx_bc = eng.right(eng.cache(a5_bc), "IyT")
+            dpy_bc = eng.right(eng.cache(a6_bc), "GyT")
+            R_u_bc = -dpx_bc + nu * (Lu8[1:2, :] + row(_R_DUDYY))
+            R_v_bc = -dpy_bc + nu * Lv8[1:2, :]
+            # corner (N, N)
+            dpx_bb = _corner_dot(a5_bc, col(_C_IYTCB))
+            dpy_bb = _corner_dot(a6_bc, col(_C_GYTCB))
+            R_u_bb = -s(_CONV_BB) - dpx_bb + nu * s(_LAPU_BB)
+            R_v_bb = -dpy_bb
+
+            acc_u = (acc_u + jnp.sum(R_u_cb * R_u_cb)
+                     + jnp.sum(R_u_bc * R_u_bc) + R_u_bb * R_u_bb)
+            acc_v = (acc_v + jnp.sum(R_v_cb * R_v_cb)
+                     + jnp.sum(R_v_bc * R_v_bc) + R_v_bb * R_v_bb)
+            return acc_u, acc_v, acc_p
+
+        def metrics_pass():
+            """Full-grid conserved quantities from the core state +
+            exact border strips (omega's borders are dynamic)."""
+            u_c = eng.cache(su[:])
+            v_c = eng.cache(sv[:])
+            # omega core = dv/dx - du/dy (lid completion via CU2's left half)
+            omc = (eng.left("Dx", v_c)
+                   - (eng.right(u_c, "DyT") + cu2[:, 0:nc]))
+            om_cb = -(eng.right(u_c, "RCOLS")[:, 0:1]
+                      + col(_C_LID) * s(_DYT_BB))          # (nc, 1)
+            om_bc = (eng.left("LROWS", v_c)[0:1, :]
+                     - lidb * row(_R_DYTBC))               # (1, nc)
+            om_bb = s(_OM_BB)
+
+            energy = 0.5 * jnp.sum(w2d * (su[:] * su[:] + sv[:] * sv[:])) \
+                + s(_E_BORD)
+            enstrophy = 0.5 * (
+                jnp.sum(w2d * omc * omc)
+                + jnp.sum(col(_C_WCOL) * om_cb * om_cb)
+                + jnp.sum(row(_R_WROW) * om_bc * om_bc)
+                + s(_WBB) * om_bb * om_bb)
+
+            om_c = eng.cache(omc)
+            dwx = eng.left("Dx", om_c) + col(_C_DXCB) * om_bc
+            dwy = eng.right(om_c, "DyT") + om_cb * row(_R_DYTBC)
+            pal = jnp.sum(w2d * (dwx * dwx + dwy * dwy))
+            # border strips of grad(omega)
+            omcb_c = eng.cache(om_cb)
+            ombc_c = eng.cache(om_bc)
+            dwx_cb = eng.left("Dx", omcb_c) + col(_C_DXCB) * om_bb
+            dwy_cb = eng.right(om_c, "RCOLS")[:, 0:1] + om_cb * s(_DYT_BB)
+            dwx_bc = eng.left("LROWS", om_c)[0:1, :] + s(_DX_BB) * om_bc
+            dwy_bc = eng.right(ombc_c, "DyT") + om_bb * row(_R_DYTBC)
+            # corner: dwx(N,N) = Dx_bc @ om_cb + Dx_bb * om_bb
+            dwx_bb = _corner_dot(eng_lrow_dx(), om_cb) + s(_DX_BB) * om_bb
+            dwy_bb = _corner_dot(om_bc, col(_C_DYTCB)) \
+                + om_bb * s(_DYT_BB)
+            pal = pal + jnp.sum(col(_C_WCOL) * (dwx_cb * dwx_cb
+                                                + dwy_cb * dwy_cb)) \
+                + jnp.sum(row(_R_WROW) * (dwx_bc * dwx_bc
+                                          + dwy_bc * dwy_bc)) \
+                + s(_WBB) * (dwx_bb * dwx_bb + dwy_bb * dwy_bb)
+            return energy, enstrophy, 0.5 * pal
+
+        def eng_lrow_dx():
+            """Dx's border row as an f32 (1, nc) value for corner dots."""
+            if eng.x3:
+                return (refs["LROWS_hi"][0:1, :].astype(f32)
+                        + refs["LROWS_lo"][0:1, :].astype(f32))
+            return refs["LROWS"][0:1, :]
+
+        def adaptive_dt():
+            u_max = jnp.maximum(jnp.max(jnp.abs(su[:])), s(_LID))
+            v_max = jnp.maximum(jnp.max(jnp.abs(sv[:])), 1e-10)
+            lam_x = (u_max + jnp.sqrt(u_max * u_max + beta_sq)) * s(_IDX) \
+                + nu * s(_IDX) * s(_IDX)
+            lam_y = (v_max + jnp.sqrt(v_max * v_max + beta_sq)) * s(_IDY) \
+                + nu * s(_IDY) * s(_IDY)
+            return s(_CFL) / (lam_x + lam_y)
+
+        def loop_body(i, carry):
+            done_i, conv_iter, ref_norm, e_c, z_c, pl_c = carry
+            done = done_i > 0
+            idx = start_iter + i
+
+            su[:] = u_out[:]
+            sv[:] = v_out[:]
+            sp[:] = p_out[:]
+            # full-grid norms = core + constant border mass
+            u_prev_norm = jnp.sqrt(jnp.sum(u_out[:] * u_out[:])
+                                   + s(_UBORD_SQ))
+            v_prev_norm = jnp.sqrt(jnp.sum(v_out[:] * v_out[:]))
+            bu[:] = u_out[:]
+            bv[:] = v_out[:]
+            bp[:] = p_out[:]
+
+            dt = adaptive_dt()
+            acc = None
+            for k, alpha in enumerate(_RK4_ALPHAS):
+                acc = run_stage(alpha * dt,
+                                accumulate=(k == len(_RK4_ALPHAS) - 1))
+            if metrics_every == 1:
+                energy, enstrophy, palinstrophy = metrics_pass()
+            else:
+                energy, enstrophy, palinstrophy = jax.lax.cond(
+                    idx % metrics_every == 0,
+                    metrics_pass, lambda: (e_c, z_c, pl_c))
+
+            du = jnp.sqrt(jnp.sum((su[:] - bu[:]) ** 2))
+            dv = jnp.sqrt(jnp.sum((sv[:] - bv[:]) ** 2))
+            rel = jnp.maximum(du / (u_prev_norm + 1e-12),
+                              dv / (v_prev_norm + 1e-12))
+
+            nan = jnp.float32(jnp.nan)
+            row_v = jnp.stack([
+                jnp.where(done, nan, rel),
+                jnp.where(done, nan, jnp.sqrt(acc[0])),
+                jnp.where(done, nan, jnp.sqrt(acc[1])),
+                jnp.where(done, nan, jnp.sqrt(acc[2])),
+                jnp.where(done, nan, energy),
+                jnp.where(done, nan, enstrophy),
+                jnp.where(done, nan, palinstrophy),
+            ]).reshape(1, N_COLS)
+            rows_out[pl.ds(i, 1), :] = row_v
+
+            if use_residual:
+                cont = jnp.sqrt(acc[2])
+                ref_norm = jnp.where(idx == warmup, cont, ref_norm)
+                crit = cont / jnp.maximum(ref_norm, 1e-30)
+            else:
+                crit = rel
+            finite = jnp.isfinite(rel)
+            newly_conv = (idx >= warmup) & (crit < tolerance) & finite
+            newly_div = ~finite & ~done
+            now_done = done | newly_conv | newly_div
+            conv_iter = jnp.where(~done & now_done, idx + 1, conv_iter)
+
+            @pl.when(jnp.logical_not(done))
+            def _commit():
+                u_out[:] = su[:]
+                v_out[:] = sv[:]
+                p_out[:] = sp[:]
+
+            return (now_done.astype(jnp.int32), conv_iter, ref_norm,
+                    energy, enstrophy, palinstrophy)
+
+        zero = jnp.float32(0.0)
+        done_i, conv_iter, ref_norm, _e, _z, _pl = jax.lax.fori_loop(
+            0, chunk, loop_body,
+            (jnp.int32(0), jnp.int32(-1), rnorm_ref[0, 0],
+             zero, zero, zero))
+        state_out[0, 0] = done_i
+        state_out[0, 1] = conv_iter
+        rnorm_out[0, 0] = ref_norm
+
+    vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    call = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((nc, nc), f32),
+            jax.ShapeDtypeStruct((nc, nc), f32),
+            jax.ShapeDtypeStruct((nc, nc), f32),
+            jax.ShapeDtypeStruct((chunk, N_COLS), f32),
+            jax.ShapeDtypeStruct((1, 2), jnp.int32),
+            jax.ShapeDtypeStruct((1, 1), f32),
+        ),
+        in_specs=[vmem() for _ in range(n_mats + 3)]
+        + [pl.BlockSpec((1, 16), memory_space=pltpu.SMEM),
+           pl.BlockSpec((1, 1), memory_space=pltpu.SMEM),
+           pl.BlockSpec((1, 1), memory_space=pltpu.SMEM)],
+        out_specs=(vmem(), vmem(), vmem(), vmem(),
+                   pl.BlockSpec(memory_space=pltpu.SMEM),
+                   pl.BlockSpec(memory_space=pltpu.SMEM)),
+        scratch_shapes=[pltpu.VMEM((nc, nc), f32) for _ in range(6)]
+        + [pltpu.VMEM((2 * nc, nc), f32) for _ in range(3)],
+        interpret=interpret,
+    )
+    mat_list = [mats[k] for k in mat_names]
+    lid_col = jnp.asarray(np.asarray(ops.bc_u, np.float32)[:nf, nf - 1])
+
+    @jax.jit
+    def chunk_fn(state: SpectralState, start_iter, ref_norm):
+        u = state.u.astype(f32)[:nc, :nc]
+        v = state.v.astype(f32)[:nc, :nc]
+        p = jnp.zeros((nc, nc), f32).at[1:ni + 1, 1:ni + 1].set(
+            state.p.astype(f32))
+        iscal = jnp.asarray(start_iter, jnp.int32).reshape(1, 1)
+        rscal = jnp.asarray(ref_norm, f32).reshape(1, 1)
+        u, v, p, rows, flags, rnorm = call(*mat_list, u, v, p, scal, iscal,
+                                           rscal)
+        # reassemble the full grid: borders are the per-run constants
+        u_full = jnp.zeros((nf, nf), f32).at[:nc, :nc].set(u)
+        u_full = u_full.at[:, nf - 1].set(lid_col)
+        v_full = jnp.zeros((nf, nf), f32).at[:nc, :nc].set(v)
+        new_state = SpectralState(u=u_full, v=v_full,
+                                  p=p[1:ni + 1, 1:ni + 1])
+        done = flags[0, 0] > 0
+        conv_iter = flags[0, 1]
+        converged = done & jnp.isfinite(
+            rows[jnp.maximum(conv_iter - 1 - start_iter, 0), 0])
+        return new_state, done, conv_iter, converged, rows, rnorm[0, 0]
+
+    return chunk_fn

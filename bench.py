@@ -22,7 +22,7 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 N = 128
-STEPS_PER_CALL = 500
+STEPS_PER_CALL = 5000  # production chunk_size (conf/solver/spectral/sg.yaml)
 TARGET_SECONDS = 6.0
 
 
@@ -65,17 +65,26 @@ def bench_device() -> tuple[float, dict]:
     ops, _ = core.build_spectral_ops(params)
     state = core.initial_state(ops)
 
-    # Production TPU path (ops/pallas_tiled.py, x3 matmul algorithm): whole
-    # chunks of RK4 steps fused into single Mosaic kernels, including the
-    # per-step convergence state machine — exactly what SGSolver runs on TPU
-    # float32 with matmul_algorithm=auto. Falls back to the XLA per-step
-    # scan where Pallas is unavailable.
-    step_kind = "pallas-tiled-x3-chunk"
+    # Production TPU path (ops/pallas_aligned.py bordered-core kernel at
+    # N in {128, 256}, ops/pallas_tiled.py otherwise; x3 matmul algorithm):
+    # whole chunks of RK4 steps fused into single Mosaic kernels, including
+    # the per-step convergence state machine — exactly what SGSolver runs
+    # on TPU float32 with matmul_algorithm=auto (chunk_size 5000 is the
+    # conf/solver/spectral/sg.yaml production default). Falls back to the
+    # XLA per-step scan where Pallas is unavailable.
+    step_kind = "pallas-aligned-x3-chunk"
     try:
+        from anap3_tpu.ops.pallas_aligned import (aligned_supported,
+                                                  make_aligned_chunk_runner)
         from anap3_tpu.ops.pallas_tiled import make_tiled_chunk_runner
 
-        runner = make_tiled_chunk_runner(ops, STEPS_PER_CALL, 1e-12, 10,
-                                         algorithm="x3")
+        if aligned_supported(N):
+            runner = make_aligned_chunk_runner(ops, STEPS_PER_CALL, 1e-12,
+                                               10, algorithm="x3")
+        else:
+            step_kind = "pallas-tiled-x3-chunk"
+            runner = make_tiled_chunk_runner(ops, STEPS_PER_CALL, 1e-12, 10,
+                                             algorithm="x3")
 
         def run_chunk(state, it, ref):
             new_state, done, conv, cv, rows, ref = runner(state, it, ref)
@@ -283,6 +292,8 @@ def bench_stretch(n: int = 256) -> dict:
 
     from anap3_tpu.models.params import SpectralParameters
     from anap3_tpu.models import spectral_sg as core
+    from anap3_tpu.ops.pallas_aligned import (aligned_supported,
+                                              make_aligned_chunk_runner)
     from anap3_tpu.ops.pallas_tiled import make_tiled_chunk_runner
 
     params = SpectralParameters(
@@ -291,8 +302,12 @@ def bench_stretch(n: int = 256) -> dict:
     ops, _ = core.build_spectral_ops(params)
     state = core.initial_state(ops)
     CH = 2000
-    runner = make_tiled_chunk_runner(ops, CH, 1e-12, 10, algorithm="x3",
-                                     metrics_every=8)
+    if aligned_supported(n):
+        runner = make_aligned_chunk_runner(ops, CH, 1e-12, 10,
+                                           algorithm="x3", metrics_every=8)
+    else:
+        runner = make_tiled_chunk_runner(ops, CH, 1e-12, 10, algorithm="x3",
+                                         metrics_every=8)
     ref = jnp.asarray(jnp.inf, jnp.float32)
     t0 = time.time()
     state, *_ = runner(state, jnp.int32(0), ref)

@@ -1,0 +1,124 @@
+"""Bordered-core aligned chunk kernel (ops/pallas_aligned.py), interpret mode.
+
+Parity contract: the aligned kernel must reproduce the tiled chunk kernel
+(ops/pallas_tiled.py) on state and metric rows to x3-roundoff tolerance —
+the border decomposition is EXACT in real arithmetic (borders are per-run
+constants), so any drift beyond f32 dot-order noise is a bug.
+
+N must be a multiple of 128, so these tests run the real headline size in
+interpret mode — the heavy ones are in the slow tier.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from anap3_tpu.models.params import SpectralParameters
+from anap3_tpu.models import spectral_sg as core
+from anap3_tpu.ops.pallas_tiled import make_tiled_chunk_runner
+from anap3_tpu.ops.pallas_aligned import (make_aligned_chunk_runner,
+                                          aligned_supported)
+
+
+def mk_ops(Re=400.0, n=128, **kw):
+    p = SpectralParameters(Re=float(Re), nx=n, ny=n, dtype="float32", **kw)
+    return core.build_spectral_ops(p, dtype=jnp.float32)[0]
+
+
+class TestSupport:
+    def test_aligned_supported(self):
+        assert aligned_supported(128)
+        assert aligned_supported(256)
+        assert not aligned_supported(129)
+        assert not aligned_supported(96)
+        assert not aligned_supported(384)  # VMEM ceiling
+
+    def test_rejects_unsupported_order(self):
+        with pytest.raises(ValueError, match="N % 128"):
+            make_aligned_chunk_runner(mk_ops(n=96), 4, 1e-6, 10,
+                                      interpret=True)
+
+    def test_fused_paths_selects_aligned_tier(self):
+        from anap3_tpu.models.spectral import make_fused_paths
+
+        ops = mk_ops(n=128)
+        p = SpectralParameters(Re=400.0, nx=128, ny=128, dtype="float32")
+        step, factory = make_fused_paths(ops, p, 1e-6)
+        assert factory is not None
+        names = (factory.__code__.co_names
+                 + factory.__code__.co_freevars)
+        assert "make_aligned_chunk_runner" in names
+
+
+class TestParity:
+    def test_matches_tiled_kernel(self):
+        """3 steps from the cold start: state + all metric columns match
+        the tiled kernel to x3 dot-order tolerance."""
+        ops = mk_ops(Re=400.0)
+        st = core.initial_state(ops)
+        chunk = 3
+        ref = make_tiled_chunk_runner(ops, chunk, 1e-30, 10, interpret=True)
+        ali = make_aligned_chunk_runner(ops, chunk, 1e-30, 10,
+                                        interpret=True)
+        rs, rdone, _, _, rrows, _ = ref(st, jnp.int32(0),
+                                        jnp.float32(np.inf))
+        as_, adone, _, _, arows, _ = ali(st, jnp.int32(0),
+                                         jnp.float32(np.inf))
+        np.testing.assert_allclose(np.asarray(as_.u), np.asarray(rs.u),
+                                   rtol=2e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(as_.v), np.asarray(rs.v),
+                                   rtol=2e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(as_.p), np.asarray(rs.p),
+                                   rtol=2e-5, atol=1e-6)
+        R, A = np.asarray(rrows), np.asarray(arows)
+        # all 7 columns: rel_iter, residual norms, conserved quantities
+        np.testing.assert_allclose(A, R, rtol=2e-4)
+        assert bool(adone) == bool(rdone)
+        # reassembled borders are the BC constants
+        au = np.asarray(as_.u)
+        np.testing.assert_array_equal(au[:, -1], np.asarray(ops.bc_u)[:, -1])
+        np.testing.assert_array_equal(au[-1, :-1], 0.0)
+        np.testing.assert_array_equal(np.asarray(as_.v)[-1, :], 0.0)
+
+    @pytest.mark.slow
+    def test_sharp_lid_parity(self):
+        """corner_treatment=none puts a nonzero value at the lid corner
+        (lidb != 0) — exercises every border-constant path."""
+        ops = mk_ops(Re=100.0, corner_treatment="none")
+        st = core.initial_state(ops)
+        ref = make_tiled_chunk_runner(ops, 2, 1e-30, 10, interpret=True)
+        ali = make_aligned_chunk_runner(ops, 2, 1e-30, 10, interpret=True)
+        rs, *_r = ref(st, jnp.int32(0), jnp.float32(np.inf))
+        as_, *_a = ali(st, jnp.int32(0), jnp.float32(np.inf))
+        np.testing.assert_allclose(np.asarray(as_.u), np.asarray(rs.u),
+                                   rtol=2e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(_a[-2]), np.asarray(_r[-2]),
+                                   rtol=2e-4)  # rows
+
+    @pytest.mark.slow
+    def test_residual_criterion_and_ref_norm(self):
+        """The 'residual' criterion threads ref_norm identically."""
+        ops = mk_ops(Re=400.0)
+        st = core.initial_state(ops)
+        kw = dict(convergence_metric="residual", interpret=True)
+        ref = make_tiled_chunk_runner(ops, 12, 1e-30, 10, **kw)
+        ali = make_aligned_chunk_runner(ops, 12, 1e-30, 10, **kw)
+        *_r, rnorm_r = ref(st, jnp.int32(0), jnp.float32(np.inf))
+        *_a, rnorm_a = ali(st, jnp.int32(0), jnp.float32(np.inf))
+        assert np.isfinite(float(rnorm_a))  # set at the warmup iteration
+        np.testing.assert_allclose(float(rnorm_a), float(rnorm_r),
+                                   rtol=2e-4)
+
+    @pytest.mark.slow
+    def test_nan_divergence_freezes(self):
+        ops = mk_ops(Re=400.0)
+        st = core.initial_state(ops)
+        bad = st._replace(u=st.u * jnp.float32(jnp.nan))
+        ali = make_aligned_chunk_runner(ops, 5, 1e-30, 10, interpret=True)
+        s, done, conv_iter, converged, rows, _ = ali(bad, jnp.int32(0),
+                                                     jnp.float32(np.inf))
+        assert bool(done) and not bool(converged)
+        assert int(conv_iter) == 1
+        # post-freeze rows are NaN-marked
+        assert np.all(np.isnan(np.asarray(rows)[1:, 0]))
