@@ -144,10 +144,19 @@ class SGSolver(CavitySolver):
 
     # -- solve ---------------------------------------------------------
 
+    def _is_singular(self) -> bool:
+        """True in the Botella & Peyret sharp-lid subtraction mode."""
+        return self.grid.get("singular") is not None
+
     def solve(self, tolerance: float = None, max_iter: int = None) -> None:
         tol = self.params.tolerance if tolerance is None else tolerance
         max_iter = self.params.max_iterations if max_iter is None else max_iter
         if self.spatial_mesh is not None:
+            if self._is_singular():
+                raise ValueError(
+                    "tensor-parallel sharding (machine mesh_axes=[x]) does "
+                    "not support corner_treatment=singular yet; run "
+                    "unsharded or use a regularized lid")
             return self._solve_sharded(tol, max_iter)
         ops = self.ops
         metric = resolve_convergence_metric(self.params)
@@ -280,6 +289,10 @@ class SGSolver(CavitySolver):
             return True
         if str(flag).lower() in ("false", "0", "no"):
             return False
+        # The fused kernels do not know the singular-subtraction constant
+        # fields yet; that mode runs the XLA step path.
+        if self._is_singular():
+            return False
         # auto: fused kernel on TPU float32 solves that fit its VMEM budget
         import jax
         from ..ops.pallas_tiled import MAX_TILED_N
@@ -294,11 +307,23 @@ class SGSolver(CavitySolver):
         X, Y = np.meshgrid(self.grid["x_nodes"], self.grid["y_nodes"], indexing="ij")
         u = np.asarray(self.state.u, dtype=float)
         v = np.asarray(self.state.v, dtype=float)
-        p_full = np.asarray(core.extrapolate_inner_to_full(self.state.p), dtype=float)
+        p_inner = np.asarray(self.state.p, dtype=float)
+        S = self.grid.get("singular")
+        if S is not None:
+            # exported fields are the TOTAL solution (smooth remainder +
+            # analytic corner flow; p_s = nu * p_over_nu, finite on the
+            # strictly-interior pressure grid)
+            u = u + S["u"]
+            v = v + S["v"]
+            p_inner = p_inner + float(1.0 / self.params.Re) * \
+                S["p_over_nu"][1:-1, 1:-1]
+        p_full = np.asarray(
+            core.extrapolate_inner_to_full(jnp.asarray(p_inner)), dtype=float)
         return Fields(u=u.ravel(), v=v.ravel(), p=p_full.ravel(),
                       x=X.ravel(), y=Y.ravel())
 
     def _vorticity_full(self) -> np.ndarray:
+        # total=True adds the sampled singular vorticity in singular mode
         return np.asarray(core.vorticity(self.ops, self.state.u, self.state.v))
 
     def _streamfunction(self):
@@ -309,10 +334,30 @@ class SGSolver(CavitySolver):
             )
         from ..analysis.vortex import solve_streamfunction
 
-        omega = self._vorticity_full()
-        psi = solve_streamfunction(self._psi_poisson, omega)
         X, Y = np.meshgrid(self.grid["x_nodes"], self.grid["y_nodes"], indexing="ij")
-        return psi, X, Y
+        S = self.grid.get("singular")
+        if S is None:
+            omega = self._vorticity_full()
+            psi = solve_streamfunction(self._psi_poisson, omega)
+            return psi, X, Y
+        # Singular mode: psi_total = psi_tilde + psi_s with
+        # lap(psi_tilde) = -omega_tilde and psi_tilde|boundary = -psi_s
+        # (total psi = 0 on walls; psi_s vanishes only on the lid). The
+        # interior collocation system absorbs the boundary data through
+        # the Laplacian's boundary columns.
+        omega_t = np.asarray(core.vorticity(
+            self.ops, self.state.u, self.state.v, total=False), dtype=float)
+        psi_b = np.zeros_like(omega_t)
+        bdy = np.ones_like(omega_t, dtype=bool)
+        bdy[1:-1, 1:-1] = False
+        psi_b[bdy] = -S["psi"][bdy]
+        Dxx, Dyy = self.grid["Dxx"], self.grid["Dyy"]
+        lift = Dxx @ psi_b + psi_b @ Dyy.T
+        rhs = -omega_t[1:-1, 1:-1] - lift[1:-1, 1:-1]
+        psi_t = psi_b.copy()
+        psi_t[1:-1, 1:-1] = np.asarray(
+            self._psi_poisson.solve(jnp.asarray(rhs)))
+        return psi_t + S["psi"], X, Y
 
     # -- spectral point evaluation ---------------------------------------
 
@@ -338,15 +383,33 @@ class SGSolver(CavitySolver):
             coeff = np.linalg.solve(Vx, np.linalg.solve(Vy, np.asarray(F, float).T).T)
             return np.einsum("pm,mn,pn->p", Px, coeff, Py, optimize=True)
 
-        return eval_field(self.state.u), eval_field(self.state.v)
+        u_pts = eval_field(self.state.u)
+        v_pts = eval_field(self.state.v)
+        if self._is_singular():
+            # interpolate only the smooth remainder spectrally; the corner
+            # flow is evaluated analytically at the target points
+            from ..ops.singular import eval_singular_uv
+
+            us, vs = eval_singular_uv(
+                np.asarray(x, float), np.asarray(y, float),
+                lid_velocity=self.params.lid_velocity,
+                Lx=self.params.Lx, Ly=self.params.Ly)
+            u_pts = u_pts + us
+            v_pts = v_pts + vs
+        return u_pts, v_pts
 
     def _vorticity_for_export(self, U, V, x, y):
         """Spectral derivatives for VTS export (instead of spline smoothing).
 
         U, V arrive in (ny, nx) row-major-by-y layout from the generic
         exporter; the solver's operators act on (x, y)-indexed arrays, so we
-        transpose around the matmuls.
+        transpose around the matmuls. In singular mode the exporter's U, V
+        are TOTAL fields (not spectrally differentiable); use the smooth
+        state + the sampled singular vorticity instead.
         """
+        if self._is_singular():
+            return np.asarray(core.vorticity(
+                self.ops, self.state.u, self.state.v)).T
         omega_xy = np.asarray(
             core.vorticity(self.ops, jnp.asarray(U.T, self.ops.Dx.dtype),
                            jnp.asarray(V.T, self.ops.Dx.dtype))
@@ -461,18 +524,16 @@ class FSGSolver(SGSolver):
         # (spectral/fsg.py:96-124): final algebraic residuals + a placeholder
         # rel-iter entry at tol (or 10x tol if unconverged).
         R_u, R_v, R_p = core.residuals(self.ops, state.u, state.v, state.p)
-        omega = core.vorticity(self.ops, state.u, state.v)
-        dwx = jnp.matmul(self.ops.Dx, omega, precision=jax.lax.Precision.HIGHEST)
-        dwy = jnp.matmul(omega, self.ops.DyT, precision=jax.lax.Precision.HIGHEST)
-        W = self.ops.W2d
+        energy, enstrophy, palinstrophy = core.conserved_quantities(
+            self.ops, state.u, state.v)
         history = {
             "rel_iter": [tol if converged else tol * 10],
             "u_eq": [float(jnp.linalg.norm(R_u))],
             "v_eq": [float(jnp.linalg.norm(R_v))],
             "continuity": [float(jnp.linalg.norm(R_p))],
-            "energy": [float(0.5 * jnp.sum(W * (state.u**2 + state.v**2)))],
-            "enstrophy": [float(0.5 * jnp.sum(W * omega**2))],
-            "palinstrophy": [float(0.5 * jnp.sum(W * (dwx**2 + dwy**2)))],
+            "energy": [float(energy)],
+            "enstrophy": [float(enstrophy)],
+            "palinstrophy": [float(palinstrophy)],
         }
         result = IterationResult(
             state=state, iterations=total_iters,

@@ -39,7 +39,8 @@ from ..ops import basis as basis_ops
 from ..ops.corner import lid_profile
 from .params import SpectralParameters
 
-__all__ = ["SpectralOps", "SpectralState", "build_spectral_ops", "sg_step", "initial_state"]
+__all__ = ["SpectralOps", "SpectralState", "build_spectral_ops", "sg_step",
+           "initial_state", "conserved_quantities"]
 
 _HIGHEST = jax.lax.Precision.HIGHEST
 
@@ -84,11 +85,27 @@ class SpectralOps:
     lid_velocity: jnp.ndarray
     inv_dx_min: jnp.ndarray
     inv_dy_min: jnp.ndarray
+    # corner_treatment="singular" (Botella & Peyret sharp-lid subtraction,
+    # ops/singular.py): sampled analytic fields of the subtracted Stokes
+    # corner flow. The state then holds the SMOOTH remainder u_tilde; the
+    # convection/diagnostic paths add these per-run constants. None in the
+    # regularized-lid modes.
+    sing_u: jnp.ndarray | None = None      # (nf, nf) u_s
+    sing_v: jnp.ndarray | None = None
+    sing_dudx: jnp.ndarray | None = None   # analytic grad(u_s) samples
+    sing_dudy: jnp.ndarray | None = None
+    sing_dvdx: jnp.ndarray | None = None
+    sing_dvdy: jnp.ndarray | None = None
+    sing_w: jnp.ndarray | None = None      # omega_s (0 at the corner nodes)
+    sing_dwx: jnp.ndarray | None = None    # analytic grad(omega_s)
+    sing_dwy: jnp.ndarray | None = None
 
     _FIELDS = (
         "Dx", "DyT", "Dxx", "DyyT", "Ix", "IyT", "Gx", "GyT",
         "bc_u", "bc_v", "interior", "W2d",
         "nu", "beta_sq", "CFL", "lid_velocity", "inv_dx_min", "inv_dy_min",
+        "sing_u", "sing_v", "sing_dudx", "sing_dudy", "sing_dvdx",
+        "sing_dvdy", "sing_w", "sing_dwx", "sing_dwy",
     )
 
     def tree_flatten(self):
@@ -128,25 +145,52 @@ def build_spectral_ops(params: SpectralParameters, n: int | None = None,
     w_y = by.quadrature_weights(n + 1)
     W2d = np.outer(w_x, w_y)
 
-    u_lid = lid_profile(
-        x_nodes,
-        method=params.corner_treatment,
-        smoothing_width=params.corner_smoothing,
-        lid_velocity=params.lid_velocity,
-        Lx=params.Lx,
-    )
     nf = n + 1
-    bc_u = np.zeros((nf, nf))
-    bc_v = np.zeros((nf, nf))
-    bc_u[:, -1] = u_lid  # lid applied last => owns the top corners
     interior = np.zeros((nf, nf), dtype=bool)
     interior[1:-1, 1:-1] = True
+    singular = None
+    if str(params.corner_treatment).lower() == "singular":
+        # Botella & Peyret sharp-lid subtraction: the state is the smooth
+        # remainder u_tilde = u - u_s, whose boundary data (sharp BC minus
+        # the sampled corner solutions) is continuous at the top corners.
+        from ..ops.singular import singular_fields_on_grid
+
+        singular = singular_fields_on_grid(
+            x_nodes, y_nodes, lid_velocity=params.lid_velocity,
+            Lx=params.Lx, Ly=params.Ly)
+        u_tot_bc = np.zeros((nf, nf))
+        u_tot_bc[:, -1] = params.lid_velocity  # SHARP lid, corners included
+        bc_u = np.where(~interior, u_tot_bc - singular["u"], 0.0)
+        bc_v = np.where(~interior, -singular["v"], 0.0)
+    else:
+        u_lid = lid_profile(
+            x_nodes,
+            method=params.corner_treatment,
+            smoothing_width=params.corner_smoothing,
+            lid_velocity=params.lid_velocity,
+            Lx=params.Lx,
+        )
+        bc_u = np.zeros((nf, nf))
+        bc_v = np.zeros((nf, nf))
+        bc_u[:, -1] = u_lid  # lid applied last => owns the top corners
 
     dx_min = float(np.min(np.diff(x_nodes)))
     dy_min = float(np.min(np.diff(y_nodes)))
 
     cast = lambda a: jnp.asarray(a, dtype=dtype)
     scal = lambda s: jnp.asarray(s, dtype=dtype)
+    sing_kwargs = {}
+    if singular is not None:
+        sing_kwargs = {
+            "sing_u": cast(singular["u"]), "sing_v": cast(singular["v"]),
+            "sing_dudx": cast(singular["dudx"]),
+            "sing_dudy": cast(singular["dudy"]),
+            "sing_dvdx": cast(singular["dvdx"]),
+            "sing_dvdy": cast(singular["dvdy"]),
+            "sing_w": cast(singular["omega"]),
+            "sing_dwx": cast(singular["dwx"]),
+            "sing_dwy": cast(singular["dwy"]),
+        }
     ops = SpectralOps(
         Dx=cast(Dx), DyT=cast(Dy.T), Dxx=cast(Dxx), DyyT=cast(Dyy.T),
         Ix=cast(Ix), IyT=cast(Iy.T), Gx=cast(Gx), GyT=cast(Gy.T),
@@ -155,6 +199,7 @@ def build_spectral_ops(params: SpectralParameters, n: int | None = None,
         nu=scal(1.0 / params.Re), beta_sq=scal(params.beta_squared),
         CFL=scal(params.CFL), lid_velocity=scal(params.lid_velocity),
         inv_dx_min=scal(1.0 / dx_min), inv_dy_min=scal(1.0 / dy_min),
+        **sing_kwargs,
     )
     grid = {
         "n": n,
@@ -174,6 +219,7 @@ def build_spectral_ops(params: SpectralParameters, n: int | None = None,
         "Iy": Iy,
         "basis_x": bx,
         "basis_y": by,
+        "singular": singular,  # float64 sampled fields dict or None
     }
     return ops, grid
 
@@ -207,8 +253,18 @@ def residuals(ops: SpectralOps, u: jnp.ndarray, v: jnp.ndarray, p: jnp.ndarray):
     dp_dx = _mm(_mm(ops.Gx, p), ops.IyT)
     dp_dy = _mm(_mm(ops.Ix, p), ops.GyT)
 
-    conv_u = u * du_dx + v * du_dy
-    conv_v = u * dv_dx + v * dv_dy
+    if ops.sing_u is not None:
+        # singular subtraction: convect with the TOTAL velocity; the
+        # singular part's derivatives are analytic samples, never spectral.
+        # nu*lap(u_s) - grad(p_s) == 0 (Stokes) and div(u_s) == 0, so the
+        # viscous/pressure/continuity terms keep their u_tilde form.
+        U = u + ops.sing_u
+        V = v + ops.sing_v
+        conv_u = U * (du_dx + ops.sing_dudx) + V * (du_dy + ops.sing_dudy)
+        conv_v = U * (dv_dx + ops.sing_dvdx) + V * (dv_dy + ops.sing_dvdy)
+    else:
+        conv_u = u * du_dx + v * du_dy
+        conv_v = u * dv_dx + v * dv_dy
     R_u = -conv_u - dp_dx + ops.nu * lap_u
     R_v = -conv_v - dp_dy + ops.nu * lap_v
     div = du_dx + dv_dy
@@ -217,7 +273,12 @@ def residuals(ops: SpectralOps, u: jnp.ndarray, v: jnp.ndarray, p: jnp.ndarray):
 
 
 def adaptive_dt(ops: SpectralOps, u: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
-    """CFL-limited pseudo-timestep (sg.py:387-408)."""
+    """CFL-limited pseudo-timestep (sg.py:387-408).
+
+    In singular mode the wave speeds belong to the TOTAL velocity."""
+    if ops.sing_u is not None:
+        u = u + ops.sing_u
+        v = v + ops.sing_v
     u_max = jnp.maximum(jnp.max(jnp.abs(u)), ops.lid_velocity)
     v_max = jnp.maximum(jnp.max(jnp.abs(v)), jnp.asarray(1e-10, u.dtype))
     lam_x = (u_max + jnp.sqrt(u_max**2 + ops.beta_sq)) * ops.inv_dx_min \
@@ -261,13 +322,7 @@ def sg_step(ops: SpectralOps, state: SpectralState, tau=None):
 
     new_state = SpectralState(u=u_in, v=v_in, p=p_in)
 
-    # Conserved quantities with Gauss-Lobatto quadrature (sg.py:495-550)
-    omega = _mm(ops.Dx, v_in) - _mm(u_in, ops.DyT)
-    dwx = _mm(ops.Dx, omega)
-    dwy = _mm(omega, ops.DyT)
-    energy = 0.5 * jnp.sum(ops.W2d * (u_in * u_in + v_in * v_in))
-    enstrophy = 0.5 * jnp.sum(ops.W2d * omega * omega)
-    palinstrophy = 0.5 * jnp.sum(ops.W2d * (dwx * dwx + dwy * dwy))
+    energy, enstrophy, palinstrophy = conserved_quantities(ops, u_in, v_in)
 
     metrics = {
         "u_eq": jnp.linalg.norm(R_u),
@@ -280,9 +335,40 @@ def sg_step(ops: SpectralOps, state: SpectralState, tau=None):
     return new_state, metrics
 
 
-def vorticity(ops: SpectralOps, u: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
-    """Spectral vorticity ω = dv/dx - du/dy on the full grid (sg.py:510-522)."""
-    return _mm(ops.Dx, v) - _mm(u, ops.DyT)
+def conserved_quantities(ops: SpectralOps, u: jnp.ndarray, v: jnp.ndarray):
+    """(energy, enstrophy, palinstrophy) with Gauss-Lobatto quadrature
+    (sg.py:495-550). In singular mode the quadratures run over the TOTAL
+    fields: spectral derivatives act on the smooth remainder only, the
+    singular contributions are analytic samples. Note the sharp-lid
+    enstrophy/palinstrophy integrals diverge (omega ~ 1/r at the corners):
+    the quadrature values are finite because the corner samples are zeroed,
+    but they grow with N by construction — physical truth, not a bug."""
+    omega = _mm(ops.Dx, v) - _mm(u, ops.DyT)
+    dwx = _mm(ops.Dx, omega)
+    dwy = _mm(omega, ops.DyT)
+    if ops.sing_u is not None:
+        u = u + ops.sing_u
+        v = v + ops.sing_v
+        omega = omega + ops.sing_w
+        dwx = dwx + ops.sing_dwx
+        dwy = dwy + ops.sing_dwy
+    energy = 0.5 * jnp.sum(ops.W2d * (u * u + v * v))
+    enstrophy = 0.5 * jnp.sum(ops.W2d * omega * omega)
+    palinstrophy = 0.5 * jnp.sum(ops.W2d * (dwx * dwx + dwy * dwy))
+    return energy, enstrophy, palinstrophy
+
+
+def vorticity(ops: SpectralOps, u: jnp.ndarray, v: jnp.ndarray,
+              total: bool = True) -> jnp.ndarray:
+    """Spectral vorticity ω = dv/dx - du/dy on the full grid (sg.py:510-522).
+
+    ``total=True`` adds the sampled singular vorticity in singular mode
+    (zeroed at the two corner nodes where it diverges); pass ``total=False``
+    for the smooth remainder only."""
+    om = _mm(ops.Dx, v) - _mm(u, ops.DyT)
+    if total and ops.sing_w is not None:
+        om = om + ops.sing_w
+    return om
 
 
 def extrapolate_inner_to_full(p_inner: jnp.ndarray) -> jnp.ndarray:

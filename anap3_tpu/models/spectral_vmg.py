@@ -455,18 +455,16 @@ class FMGSolver(SGSolver):
         # Real final algebraic residuals + quadrature integrals, matching
         # FSGSolver.solve's single-row history (reference spectral/fsg.py:96-124).
         R_u, R_v, R_p = core.residuals(self.ops, state.u, state.v, state.p)
-        omega = core.vorticity(self.ops, state.u, state.v)
-        dwx = _mm(self.ops.Dx, omega)
-        dwy = _mm(omega, self.ops.DyT)
-        W = self.ops.W2d
+        energy, enstrophy, palinstrophy = core.conserved_quantities(
+            self.ops, state.u, state.v)
         history = {
             "rel_iter": [tol if converged else tol * 10],
             "u_eq": [float(jnp.linalg.norm(R_u))],
             "v_eq": [float(jnp.linalg.norm(R_v))],
             "continuity": [float(jnp.linalg.norm(R_p))],
-            "energy": [float(0.5 * jnp.sum(W * (state.u**2 + state.v**2)))],
-            "enstrophy": [float(0.5 * jnp.sum(W * omega**2))],
-            "palinstrophy": [float(0.5 * jnp.sum(W * (dwx**2 + dwy**2)))],
+            "energy": [float(energy)],
+            "enstrophy": [float(enstrophy)],
+            "palinstrophy": [float(palinstrophy)],
         }
         result = IterationResult(state=state, iterations=total_iters,
                                  converged=bool(converged and not diverged),

@@ -1,0 +1,128 @@
+"""Sharp-lid singular-subtraction solver mode (corner_treatment=singular).
+
+Fast tier: operator-construction invariants and the residual decomposition.
+Slow tier: the Re=100 N=32 solve that demonstrates the headline claim — the
+sharp-lid mode beats the smoothed-lid L2 floor against the stored sharp-lid
+FV truth by ~3x and reproduces the Ghia/Botella primary vortex.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from anap3_tpu.models.params import SpectralParameters
+from anap3_tpu.models import spectral_sg as core
+from anap3_tpu.models.spectral import SGSolver
+from anap3_tpu.ops.singular import singular_fields_on_grid
+
+
+def build(n=24, Re=100.0, **kw):
+    p = SpectralParameters(Re=Re, nx=n, ny=n, dtype="float64",
+                           corner_treatment="singular", **kw)
+    return core.build_spectral_ops(p)
+
+
+class TestSingularOps:
+    def test_ops_carry_singular_fields(self):
+        ops, grid = build()
+        assert ops.sing_u is not None and ops.sing_w is not None
+        assert grid["singular"] is not None
+        nf = ops.bc_u.shape[0]
+        assert ops.sing_u.shape == (nf, nf)
+        for name in ("sing_u", "sing_v", "sing_dudx", "sing_dudy",
+                     "sing_dvdx", "sing_dvdy", "sing_w", "sing_dwx",
+                     "sing_dwy"):
+            assert bool(jnp.all(jnp.isfinite(getattr(ops, name)))), name
+
+    def test_smoothed_mode_has_none(self):
+        p = SpectralParameters(Re=100.0, nx=16, ny=16)
+        ops, grid = core.build_spectral_ops(p)
+        assert ops.sing_u is None and grid["singular"] is None
+
+    def test_subtracted_bc_continuous_at_corners(self):
+        """The whole point: u_tilde's boundary data has no jump at the top
+        corners (the raw sharp lid jumps from U to 0 there)."""
+        ops, _ = build()
+        bc = np.asarray(ops.bc_u)
+        # lid value adjacent to corner B vs wall value adjacent to corner B
+        assert bc[-1, -1] == pytest.approx(-1.0, abs=1e-12)  # corner itself
+        assert abs(bc[-2, -1] - bc[-1, -1]) < 0.05   # along lid
+        assert abs(bc[-1, -2] - bc[-1, -1]) < 0.05   # down the wall
+        assert abs(bc[1, -1] - bc[0, -1]) < 0.05     # corner A, along lid
+        assert abs(bc[0, -2] - bc[0, -1]) < 0.05     # corner A, down wall
+        # v boundary data is nonzero on the side walls now
+        assert np.max(np.abs(np.asarray(ops.bc_v))) > 0.01
+
+    def test_residual_decomposition_at_zero_state(self):
+        """With u_tilde = 0 the momentum residual reduces to the analytic
+        -(u_s . grad) u_s (viscous and pressure terms of the Stokes part
+        cancel by construction)."""
+        ops, grid = build(n=16)
+        nf = ops.bc_u.shape[0]
+        z = jnp.zeros((nf, nf), jnp.float64)
+        zp = jnp.zeros((nf - 2, nf - 2), jnp.float64)
+        R_u, R_v, R_p = core.residuals(ops, z, z, zp)
+        S = grid["singular"]
+        np.testing.assert_allclose(
+            np.asarray(R_u), -(S["u"] * S["dudx"] + S["v"] * S["dudy"]),
+            atol=1e-12)
+        np.testing.assert_allclose(
+            np.asarray(R_v), -(S["u"] * S["dvdx"] + S["v"] * S["dvdy"]),
+            atol=1e-12)
+        np.testing.assert_allclose(np.asarray(R_p), 0.0, atol=1e-12)
+
+    def test_conserved_quantities_are_totals(self):
+        """At u_tilde = 0 the quadratures see exactly the sampled singular
+        fields."""
+        ops, grid = build(n=16)
+        nf = ops.bc_u.shape[0]
+        z = jnp.zeros((nf, nf), jnp.float64)
+        e, zq, pl = core.conserved_quantities(ops, z, z)
+        S = grid["singular"]
+        W = np.asarray(ops.W2d)
+        assert float(e) == pytest.approx(
+            0.5 * np.sum(W * (S["u"] ** 2 + S["v"] ** 2)), rel=1e-12)
+        assert float(zq) == pytest.approx(
+            0.5 * np.sum(W * S["omega"] ** 2), rel=1e-12)
+        assert float(pl) == pytest.approx(
+            0.5 * np.sum(W * (S["dwx"] ** 2 + S["dwy"] ** 2)), rel=1e-12)
+
+    def test_sampled_fields_match_module(self):
+        ops, grid = build(n=16)
+        S = singular_fields_on_grid(grid["x_nodes"], grid["y_nodes"])
+        np.testing.assert_allclose(np.asarray(ops.sing_u), S["u"])
+
+    def test_pallas_disabled_in_singular_mode(self):
+        s = SGSolver(Re=100.0, nx=16, ny=16, corner_treatment="singular",
+                     use_pallas="auto")
+        assert not s._pallas_enabled()
+
+
+class TestSingularSolve:
+    def test_small_solve_reaches_physical_vortex(self):
+        """N=16 Re=100, loose tolerance: the sharp-lid mode already lands
+        near the Ghia/Botella primary vortex (psi_min ~ -0.1034)."""
+        s = SGSolver(Re=100.0, nx=16, ny=16, tolerance=1e-4,
+                     max_iterations=40_000, dtype="float64",
+                     corner_treatment="singular", chunk_size=2000)
+        s.solve()
+        assert s.metrics.converged
+        vort = s.compute_vortex_metrics()
+        assert -0.12 < vort["psi_min"] < -0.085
+        assert np.isfinite(s.metrics.final_energy)
+
+    @pytest.mark.slow
+    def test_beats_smoothed_lid_floor_re100(self):
+        """The VERDICT done-bar at Re=100: L2 vs the stored SHARP-lid FV
+        truth < 0.05 without smoothing (the smoothed floor is ~0.12), and
+        the primary vortex matches Ghia/Botella to ~1.5%."""
+        s = SGSolver(Re=100.0, nx=32, ny=32, tolerance=1e-6,
+                     max_iterations=600_000, dtype="float64",
+                     corner_treatment="singular", chunk_size=5000)
+        s.solve()
+        assert s.metrics.converged
+        errs = s.compute_validation_errors(save_plots=False)
+        assert errs["u_L2_error"] < 0.05
+        assert errs["v_L2_error"] < 0.05
+        vort = s.compute_vortex_metrics()
+        assert vort["psi_min"] == pytest.approx(-0.1034, rel=0.015)
