@@ -159,6 +159,16 @@ class SGSolver(CavitySolver):
                     "unsharded or use a regularized lid")
             return self._solve_sharded(tol, max_iter)
         ops = self.ops
+        if self._is_singular():
+            from ..ops.singular import singular_min_n
+
+            floor = singular_min_n(self.params.Re)
+            if int(self.params.nx) < floor:
+                log.warning(
+                    "corner_treatment=singular at N=%d is below the "
+                    "measured cold-start stability floor N>=%d for Re=%g; "
+                    "expect divergence unless warm-started",
+                    self.params.nx, floor, self.params.Re)
         metric = resolve_convergence_metric(self.params)
 
         chunk_runner = None
@@ -428,10 +438,17 @@ class FSGSolver(SGSolver):
         raised by the measured cell-Peclet bound at high Re — a
         convection-under-resolved coarsest level diverges the cascade
         (observed: N=24 at Re=3200, Pe=209, goes NaN; the reference never
-        ran multigrid past Re=1000)."""
+        ran multigrid past Re=1000). In singular mode the coarsest level
+        starts COLD from rest, so it must also satisfy the sharp-lid
+        cold-start stability floor (ops/singular.singular_min_n)."""
         from .spectral_vmg import default_coarsest_n
 
-        return max(self.COARSEST_N, default_coarsest_n(float(self.params.Re)))
+        floor = max(self.COARSEST_N, default_coarsest_n(float(self.params.Re)))
+        if self._is_singular():
+            from ..ops.singular import singular_min_n
+
+            floor = max(floor, singular_min_n(self.params.Re))
+        return floor
 
     def _level_orders(self) -> list:
         orders = []

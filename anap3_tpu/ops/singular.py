@@ -54,7 +54,31 @@ __all__ = [
     "singular_fields_on_grid",
     "eval_singular_uv",
     "eval_singular_psi",
+    "singular_min_n",
 ]
+
+
+def singular_min_n(Re: float) -> int:
+    """Minimum stable polynomial order for a COLD-START singular-mode solve.
+
+    The subtraction adds a reaction-like convection term (u_tilde . grad)u_s
+    with |grad u_s| ~ 1/r near the corners and O(1) tangential boundary data
+    on every wall; under-resolved cold starts blow up in the pseudo-time
+    transient (independent of dt — reproduced at CFL 0.1, f32 AND f64).
+    Measured stable/diverged brackets (this box, 40-60k cold steps):
+
+        Re=400: 20/16,  Re=1000: 32/24,  Re=2000: 48/-,  Re=3200: 96/80
+
+    ~sqrt(Re) up to Re=2000, steeper after; the Re>2000 branch extrapolates
+    the Re=3200 bracket with a conservative 0.8 power. Warm starts
+    (Re-continuation, multigrid prolongation) can run below this floor; the
+    floor gates the COARSEST (cold) level of FSG/VMG hierarchies and warns
+    on cold single-grid solves.
+    """
+    Re = float(Re)
+    if Re <= 2000.0:
+        return int(np.ceil(np.sqrt(Re)))
+    return int(np.ceil(96.0 * (Re / 3200.0) ** 0.8))
 
 
 def corner_coefficients(lid_velocity: float = 1.0):

@@ -97,6 +97,31 @@ class TestSingularOps:
                      use_pallas="auto")
         assert not s._pallas_enabled()
 
+    def test_cold_start_floor(self):
+        """Calibrated against the measured stable/diverged brackets:
+        Re=400: 20/16, Re=1000: 32/24, Re=2000: 48/-, Re=3200: 96/80."""
+        from anap3_tpu.ops.singular import singular_min_n
+
+        assert 16 < singular_min_n(400) <= 20
+        assert 24 < singular_min_n(1000) <= 32
+        assert singular_min_n(2000) <= 48
+        assert 80 < singular_min_n(3200) <= 96
+        assert singular_min_n(10000) <= 256  # reachable by the N=256 tier
+
+    def test_fsg_hierarchy_respects_singular_floor(self):
+        """At Re=1000 the N=24 coarse level diverges cold (measured); the
+        singular-mode FSG hierarchy must stop coarsening at the floor."""
+        from anap3_tpu.models.spectral import FSGSolver
+
+        s = FSGSolver(Re=1000.0, nx=96, ny=96, corner_treatment="singular",
+                      n_levels=3)
+        orders = s._level_orders()
+        assert min(orders) >= 32
+        assert orders[-1] == 96
+        # smoothed-lid hierarchy still coarsens further
+        s2 = FSGSolver(Re=1000.0, nx=96, ny=96, n_levels=3)
+        assert min(s2._level_orders()) < 32
+
 
 class TestSingularSolve:
     def test_small_solve_reaches_physical_vortex(self):
