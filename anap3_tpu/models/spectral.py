@@ -94,6 +94,18 @@ def make_fused_paths(ops, params, tol, metric: Optional[str] = None):
     # machine then only detects divergence and the plateau test runs
     # host-side). Only the build-time tier gate needs the mapped value.
     effective = "rel_iter" if metric == "energy" else metric
+    if ops.sing_u is not None:
+        # singular subtraction: only the tiled kernels carry the constant
+        # singular fields (the untiled x6 and bordered-core aligned kernels
+        # assume zero/lid-only borders)
+        if n > MAX_TILED_N:
+            return None, None
+        step = make_tiled_sg_step(ops, algorithm=alg)
+        m_every = 1 if n <= MAX_FUSED_N else 8
+        factory = lambda chunk, tol_, metric_: make_tiled_chunk_runner(
+            ops, chunk, tol_, WARMUP_ITERS, algorithm=alg,
+            convergence_metric=metric_, metrics_every=m_every)
+        return step, factory
     if alg == "x6" and n <= MAX_FUSED_N:
         step = make_pallas_sg_step(ops)
         # the untiled chunk kernel implements rel_iter only
@@ -298,10 +310,6 @@ class SGSolver(CavitySolver):
         if str(flag).lower() in ("true", "1", "yes"):
             return True
         if str(flag).lower() in ("false", "0", "no"):
-            return False
-        # The fused kernels do not know the singular-subtraction constant
-        # fields yet; that mode runs the XLA step path.
-        if self._is_singular():
             return False
         # auto: fused kernel on TPU float32 solves that fit its VMEM budget
         import jax

@@ -225,13 +225,23 @@ def build_spectral_ops(params: SpectralParameters, n: int | None = None,
 
 
 def initial_state(ops: SpectralOps) -> SpectralState:
-    """Zero fields with the lid BC applied (sg.py:250-253)."""
+    """Start-of-solve fields (sg.py:250-253: impulsive start from rest).
+
+    In singular mode "rest" means the TOTAL velocity is zero in the
+    interior, i.e. u_tilde = -u_s there (u_tilde = 0 would start the total
+    flow at the O(1) non-physical Stokes corner field everywhere, whose
+    cancellation is a long oscillatory AC transient — measured 4-6x slower
+    spin-up at N=128 Re=1000, and the source of harsher cold-start
+    stability floors)."""
     nf = ops.bc_u.shape[0]
     ni = nf - 2
     dtype = ops.bc_u.dtype
-    u = enforce_bc(ops, jnp.zeros((nf, nf), dtype), jnp.zeros((nf, nf), dtype))[0]
-    return SpectralState(u=u, v=jnp.zeros((nf, nf), dtype),
-                         p=jnp.zeros((ni, ni), dtype))
+    if ops.sing_u is not None:
+        u, v = enforce_bc(ops, -ops.sing_u, -ops.sing_v)
+    else:
+        u, v = enforce_bc(ops, jnp.zeros((nf, nf), dtype),
+                          jnp.zeros((nf, nf), dtype))
+    return SpectralState(u=u, v=v, p=jnp.zeros((ni, ni), dtype))
 
 
 def enforce_bc(ops: SpectralOps, u: jnp.ndarray, v: jnp.ndarray):

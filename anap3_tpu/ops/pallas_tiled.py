@@ -55,6 +55,16 @@ N_COLS = 7  # rel_iter + 6 metrics, runner METRIC_KEYS order
 # Largest order whose working set fits VMEM with the x3 layout.
 MAX_TILED_N = 320
 
+# corner_treatment="singular" support: the sampled singular fields ride as
+# nine extra per-run-constant VMEM arrays; the stage residuals convect with
+# the TOTAL velocity (elementwise adds only — the singular part is never
+# differentiated spectrally, matching models/spectral_sg.residuals), and the
+# metrics pass quadratures totals while differentiating only the smooth
+# vorticity. Padded cells of the singular fields are zero, so the padding
+# invariant (padded state stays exactly zero) is preserved.
+_SING_NAMES = ("sing_u", "sing_v", "sing_dudx", "sing_dudy", "sing_dvdx",
+               "sing_dvdy", "sing_w", "sing_dwx", "sing_dwy")
+
 # The matmul operators, in kernel argument order. The stage dots use
 # STACKED operators — DX2 = [Dx; Dxx] (2nfp, nfp), PX2 = [Gx; Ix]
 # (2nfp, nfp), DY2 = [DyT | DyyT] (nfp, 2nfp) — so one MXU dot computes two
@@ -165,7 +175,10 @@ def _pad_ops(ops: SpectralOps, blk: int | None, algorithm: str):
             mats[name + "_lo"] = jnp.asarray(lo)
         else:
             mats[name] = jnp.asarray(a32)
-    for name in _AUX_NAMES:
+    aux_names = list(_AUX_NAMES)
+    if ops.sing_u is not None:
+        aux_names += list(_SING_NAMES)
+    for name in aux_names:
         mats[name] = jnp.asarray(pad(getattr(ops, name)), jnp.float32)
 
     scal = jnp.stack([ops.nu, ops.beta_sq, ops.CFL, ops.lid_velocity,
@@ -186,6 +199,8 @@ def _stage_machinery(refs, nfp, blk, algorithm):
     LU, LV, LP = refs["LU"], refs["LV"], refs["LP"]
     nu = refs["nu"]
     beta_sq = refs["beta_sq"]
+
+    sing = ("sing_u" in refs)
 
     def run_stage(adt, base_u, base_v, base_p, accumulate: bool):
         u_c = eng.cache(su[:])
@@ -214,8 +229,18 @@ def _stage_machinery(refs, nfp, blk, algorithm):
             dp_dy = eng.right(a6_c, "GyT", r)
             du_dx = LU[r, :]
             dv_dx = LV[r, :]
-            R_u = -(u_b * du_dx + v_b * du_dy) - dp_dx + nu * lap_u
-            R_v = -(u_b * dv_dx + v_b * dv_dy) - dp_dy + nu * lap_v
+            if sing:
+                U = u_b + refs["sing_u"][r, :]
+                V = v_b + refs["sing_v"][r, :]
+                R_u = -(U * (du_dx + refs["sing_dudx"][r, :])
+                        + V * (du_dy + refs["sing_dudy"][r, :])) \
+                    - dp_dx + nu * lap_u
+                R_v = -(U * (dv_dx + refs["sing_dvdx"][r, :])
+                        + V * (dv_dy + refs["sing_dvdy"][r, :])) \
+                    - dp_dy + nu * lap_v
+            else:
+                R_u = -(u_b * du_dx + v_b * du_dy) - dp_dx + nu * lap_u
+                R_v = -(u_b * dv_dx + v_b * dv_dy) - dp_dy + nu * lap_v
             interior_b = interior[r, :]
             R_p = -beta_sq * (du_dx + dv_dy) * interior_b
             if "tau_u" in refs:  # FAS forcing (V-cycle multigrid smoothing)
@@ -238,6 +263,9 @@ def _stage_machinery(refs, nfp, blk, algorithm):
 
         Uses the single-operator mats ("Dx"/"DyT"); reuses LU[:nfp] for
         omega and LV[:nfp] for Dx @ omega (free after the stage loop).
+        In singular mode the quadratures run over TOTALS, but the spectral
+        vorticity-gradient dots act only on the SMOOTH omega (the singular
+        gradient terms are the sampled sing_dwx/sing_dwy constants).
         """
         u_c = eng.cache(su[:])
         v_c = eng.cache(sv[:])
@@ -249,8 +277,12 @@ def _stage_machinery(refs, nfp, blk, algorithm):
             u_b = su[r, :]
             v_b = sv[r, :]
             om = LV[r, :] - eng.right(u_c, "DyT", r)
-            LU[r, :] = om
+            LU[r, :] = om   # SMOOTH omega (the derivative dots act on this)
             w = W2d[r, :]
+            if sing:
+                u_b = u_b + refs["sing_u"][r, :]
+                v_b = v_b + refs["sing_v"][r, :]
+                om = om + refs["sing_w"][r, :]
             energy = energy + 0.5 * jnp.sum(w * (u_b * u_b + v_b * v_b))
             enstrophy = enstrophy + 0.5 * jnp.sum(w * om * om)
 
@@ -261,6 +293,9 @@ def _stage_machinery(refs, nfp, blk, algorithm):
             r = slice(i * blk, (i + 1) * blk)
             dwx = LV[r, :]
             dwy = eng.right(om_c, "DyT", r)
+            if sing:
+                dwx = dwx + refs["sing_dwx"][r, :]
+                dwy = dwy + refs["sing_dwy"][r, :]
             palinstrophy = palinstrophy + 0.5 * jnp.sum(
                 W2d[r, :] * (dwx * dwx + dwy * dwy))
         return energy, enstrophy, palinstrophy
@@ -268,15 +303,17 @@ def _stage_machinery(refs, nfp, blk, algorithm):
     return run_stage, metrics_pass
 
 
-def _adaptive_dt(su, sv, scal):
+def _adaptive_dt(su, sv, scal, sing_u=None, sing_v=None):
     nu = scal[0, 0]
     beta_sq = scal[0, 1]
     cfl = scal[0, 2]
     lid = scal[0, 3]
     inv_dx = scal[0, 4]
     inv_dy = scal[0, 5]
-    u_max = jnp.maximum(jnp.max(jnp.abs(su[:])), lid)
-    v_max = jnp.maximum(jnp.max(jnp.abs(sv[:])), 1e-10)
+    u_eff = su[:] if sing_u is None else su[:] + sing_u[:]
+    v_eff = sv[:] if sing_v is None else sv[:] + sing_v[:]
+    u_max = jnp.maximum(jnp.max(jnp.abs(u_eff)), lid)
+    v_max = jnp.maximum(jnp.max(jnp.abs(v_eff)), 1e-10)
     lam_x = (u_max + jnp.sqrt(u_max * u_max + beta_sq)) * inv_dx \
         + nu * inv_dx * inv_dx
     lam_y = (v_max + jnp.sqrt(v_max * v_max + beta_sq)) * inv_dy \
@@ -336,7 +373,8 @@ def make_tiled_sg_step(ops: SpectralOps, interpret: bool = False,
                     nu=scal_ref[0, 0], beta_sq=scal_ref[0, 1], **tau_refs)
         run_stage, metrics_pass = _stage_machinery(refs, nfp, blk, algorithm)
 
-        dt = _adaptive_dt(su, sv, scal_ref)
+        dt = _adaptive_dt(su, sv, scal_ref, op_refs.get("sing_u"),
+                              op_refs.get("sing_v"))
         acc = (jnp.float32(0), jnp.float32(0), jnp.float32(0))
         for k, alpha in enumerate(_RK4_ALPHAS):
             acc = run_stage(alpha * dt, u_in, v_in, p_in,
@@ -455,7 +493,8 @@ def make_tiled_chunk_runner(ops: SpectralOps, chunk: int, tolerance: float,
             bv[:] = v_out[:]
             bp[:] = p_out[:]
 
-            dt = _adaptive_dt(su, sv, scal_ref)
+            dt = _adaptive_dt(su, sv, scal_ref, op_refs.get("sing_u"),
+                              op_refs.get("sing_v"))
             acc = (jnp.float32(0), jnp.float32(0), jnp.float32(0))
             for k, alpha in enumerate(_RK4_ALPHAS):
                 acc = run_stage(alpha * dt, bu, bv, bp,

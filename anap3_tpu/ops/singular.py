@@ -65,20 +65,21 @@ def singular_min_n(Re: float) -> int:
     with |grad u_s| ~ 1/r near the corners and O(1) tangential boundary data
     on every wall; under-resolved cold starts blow up in the pseudo-time
     transient (independent of dt — reproduced at CFL 0.1, f32 AND f64).
-    Measured stable/diverged brackets (this box, 40-60k cold steps):
+    With the REST initial state (initial_state: u_tilde = -u_s interior, so
+    the total flow starts at rest) the measured stable/diverged brackets
+    (this box, 40-60k cold steps) are
 
-        Re=400: 20/16,  Re=1000: 32/24,  Re=2000: 48/-,  Re=3200: 96/80
+        Re=400: 16/12,  Re=1000: 24/16,  Re=3200: 40/-
 
-    ~sqrt(Re) up to Re=2000, steeper after; the Re>2000 branch extrapolates
-    the Re=3200 bracket with a conservative 0.8 power. Warm starts
-    (Re-continuation, multigrid prolongation) can run below this floor; the
-    floor gates the COARSEST (cold) level of FSG/VMG hierarchies and warns
-    on cold single-grid solves.
+    i.e. ~0.7 sqrt(Re); the 0.8 coefficient covers the untested marginals.
+    (The earlier u_tilde = 0 start — total flow = the O(1) corner field —
+    needed 20/32/96 at Re=400/1000/3200: most of the danger was the
+    non-physical initial transient.) Warm starts (Re-continuation,
+    multigrid prolongation) can run below this floor; the floor gates the
+    COARSEST (cold) level of FSG hierarchies and warns on cold single-grid
+    solves.
     """
-    Re = float(Re)
-    if Re <= 2000.0:
-        return int(np.ceil(np.sqrt(Re)))
-    return int(np.ceil(96.0 * (Re / 3200.0) ** 0.8))
+    return int(np.ceil(0.75 * np.sqrt(float(Re))))
 
 
 def corner_coefficients(lid_velocity: float = 1.0):

@@ -92,43 +92,109 @@ class TestSingularOps:
         S = singular_fields_on_grid(grid["x_nodes"], grid["y_nodes"])
         np.testing.assert_allclose(np.asarray(ops.sing_u), S["u"])
 
-    def test_pallas_disabled_in_singular_mode(self):
-        s = SGSolver(Re=100.0, nx=16, ny=16, corner_treatment="singular",
-                     use_pallas="auto")
-        assert not s._pallas_enabled()
+    def test_fused_paths_select_tiled_tier_for_singular(self):
+        """Singular mode routes to the tiled kernels (which carry the
+        singular constant fields); the aligned/untiled tiers are excluded."""
+        from anap3_tpu.models.spectral import make_fused_paths
+
+        p = SpectralParameters(Re=100.0, nx=128, ny=128, dtype="float32",
+                               corner_treatment="singular")
+        ops, _ = core.build_spectral_ops(p, dtype=jnp.float32)
+        step, factory = make_fused_paths(ops, p, 1e-6)
+        assert factory is not None
+        names = factory.__code__.co_names + factory.__code__.co_freevars
+        assert "make_tiled_chunk_runner" in names
+        assert "make_aligned_chunk_runner" not in names
 
     def test_cold_start_floor(self):
-        """Calibrated against the measured stable/diverged brackets:
-        Re=400: 20/16, Re=1000: 32/24, Re=2000: 48/-, Re=3200: 96/80."""
+        """Calibrated against the measured rest-start brackets:
+        Re=400: 16/12, Re=1000: 24/16, Re=3200: 40/-."""
         from anap3_tpu.ops.singular import singular_min_n
 
-        assert 16 < singular_min_n(400) <= 20
-        assert 24 < singular_min_n(1000) <= 32
-        assert singular_min_n(2000) <= 48
-        assert 80 < singular_min_n(3200) <= 96
-        assert singular_min_n(10000) <= 256  # reachable by the N=256 tier
+        assert 12 < singular_min_n(400) <= 16
+        assert 16 < singular_min_n(1000) <= 24
+        assert singular_min_n(3200) <= 48
+        assert singular_min_n(10000) <= 128  # well inside the fused tiers
+
+    def test_initial_state_is_rest_in_singular_mode(self):
+        """Total velocity (u_tilde + u_s) starts at zero in the interior."""
+        ops, _ = build(n=24)
+        st = core.initial_state(ops)
+        total_u = np.asarray(st.u + ops.sing_u)[1:-1, 1:-1]
+        total_v = np.asarray(st.v + ops.sing_v)[1:-1, 1:-1]
+        np.testing.assert_allclose(total_u, 0.0, atol=1e-12)
+        np.testing.assert_allclose(total_v, 0.0, atol=1e-12)
 
     def test_fsg_hierarchy_respects_singular_floor(self):
-        """At Re=1000 the N=24 coarse level diverges cold (measured); the
-        singular-mode FSG hierarchy must stop coarsening at the floor."""
+        """Below the rest-start floor (16 diverges at Re=1000, measured) the
+        singular-mode FSG hierarchy must stop coarsening."""
         from anap3_tpu.models.spectral import FSGSolver
+        from anap3_tpu.ops.singular import singular_min_n
 
-        s = FSGSolver(Re=1000.0, nx=96, ny=96, corner_treatment="singular",
+        s = FSGSolver(Re=400.0, nx=48, ny=48, corner_treatment="singular",
                       n_levels=3)
         orders = s._level_orders()
-        assert min(orders) >= 32
-        assert orders[-1] == 96
-        # smoothed-lid hierarchy still coarsens further
-        s2 = FSGSolver(Re=1000.0, nx=96, ny=96, n_levels=3)
-        assert min(s2._level_orders()) < 32
+        assert min(orders) >= singular_min_n(400) > 12
+        assert orders[-1] == 48
+        # smoothed-lid hierarchy still coarsens to the reference's N=12
+        s2 = FSGSolver(Re=400.0, nx=48, ny=48, n_levels=3)
+        assert min(s2._level_orders()) < singular_min_n(400)
+
+
+class TestTiledSingularKernel:
+    def test_step_parity_with_xla(self):
+        """Tiled x6 kernel (interpret) vs core.sg_step on singular ops:
+        state and all metrics match to f32 roundoff over 3 steps."""
+        from anap3_tpu.ops.pallas_tiled import make_tiled_sg_step
+
+        p = SpectralParameters(Re=400.0, nx=32, ny=32, dtype="float32",
+                               corner_treatment="singular")
+        ops, _ = core.build_spectral_ops(p, dtype=jnp.float32)
+        st_ref = st_k = core.initial_state(ops)
+        step = make_tiled_sg_step(ops, interpret=True, algorithm="x6")
+        for _ in range(3):
+            st_ref, m_ref = core.sg_step(ops, st_ref)
+            st_k, m_k = step(st_k)
+        np.testing.assert_allclose(np.asarray(st_k.u), np.asarray(st_ref.u),
+                                   rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(st_k.v), np.asarray(st_ref.v),
+                                   rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(st_k.p), np.asarray(st_ref.p),
+                                   rtol=1e-4, atol=1e-5)
+        for k in ("u_eq", "v_eq", "continuity", "energy", "enstrophy",
+                  "palinstrophy"):
+            assert float(m_k[k]) == pytest.approx(float(m_ref[k]), rel=2e-3), k
+
+    @pytest.mark.slow
+    def test_chunk_runner_parity(self):
+        from anap3_tpu.ops.pallas_tiled import make_tiled_chunk_runner
+
+        p = SpectralParameters(Re=400.0, nx=32, ny=32, dtype="float32",
+                               corner_treatment="singular")
+        ops, _ = core.build_spectral_ops(p, dtype=jnp.float32)
+        st = core.initial_state(ops)
+        runner = make_tiled_chunk_runner(ops, 3, 1e-30, 10, interpret=True,
+                                         algorithm="x6")
+        new_state, done, conv, converged, rows, _ = runner(
+            st, jnp.int32(0), jnp.float32(np.inf))
+        ref = st
+        for _ in range(3):
+            ref, m = core.sg_step(ops, ref)
+        np.testing.assert_allclose(np.asarray(new_state.u),
+                                   np.asarray(ref.u), rtol=1e-4, atol=1e-6)
+        assert not bool(done)
+        # last metric row matches the last step's metrics
+        R = np.asarray(rows)
+        assert R[2, 4] == pytest.approx(float(m["energy"]), rel=2e-3)
+        assert R[2, 6] == pytest.approx(float(m["palinstrophy"]), rel=2e-3)
 
 
 class TestSingularSolve:
     def test_small_solve_reaches_physical_vortex(self):
         """N=16 Re=100, loose tolerance: the sharp-lid mode already lands
         near the Ghia/Botella primary vortex (psi_min ~ -0.1034)."""
-        s = SGSolver(Re=100.0, nx=16, ny=16, tolerance=1e-4,
-                     max_iterations=40_000, dtype="float64",
+        s = SGSolver(Re=100.0, nx=16, ny=16, tolerance=1e-5,
+                     max_iterations=80_000, dtype="float64",
                      corner_treatment="singular", chunk_size=2000)
         s.solve()
         assert s.metrics.converged
