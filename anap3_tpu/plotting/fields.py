@@ -125,4 +125,52 @@ def generate_field_plots(fields: dict, output_dir, dpi: int = 300,
         except Exception as exc:
             plt.close("all")
             log.warning("Streamline render failed at density %s: %s", density, exc)
+
+    # streamlines_3d.png — counterpart of the reference's PyVista
+    # camera-angle streamline screenshot (stored fixture
+    # data/validation/fv/Re*/streamlines_3d.png; pyvista_fields.py renders).
+    # No VTK in this image, so: the 2D streamline trajectories are lifted
+    # onto the speed surface z = |u|(x, y) and drawn from an elevated
+    # camera over a translucent surface.
+    try:
+        path = _render_streamlines_3d(xi, yi, Ui, Vi, mag, output_dir, dpi)
+        if path is not None:
+            out["streamlines_3d"] = path
+    except Exception as exc:
+        plt.close("all")
+        log.warning("3D streamline render failed: %s", exc)
     return out
+
+
+def _render_streamlines_3d(xi, yi, Ui, Vi, mag, output_dir, dpi) -> Path:
+    """Camera-angle 3D streamline render (see generate_field_plots)."""
+    # compute trajectories with a throwaway 2D streamplot
+    fig2d, ax2d = plt.subplots()
+    sp = ax2d.streamplot(xi, yi, Ui, Vi, density=1.2)
+    segments = sp.lines.get_segments()
+    plt.close(fig2d)
+
+    zspline = RectBivariateSpline(yi, xi, mag)
+    fig = plt.figure(figsize=(9, 7.5))
+    ax = fig.add_subplot(projection="3d")
+    # translucent speed surface (coarse mesh keeps the file small)
+    step = max(1, len(xi) // 96)
+    Xs, Ys = np.meshgrid(xi[::step], yi[::step])
+    ax.plot_surface(Xs, Ys, mag[::step, ::step], cmap="magma", alpha=0.35,
+                    linewidth=0, antialiased=False, rstride=1, cstride=1)
+    cmap = plt.get_cmap("magma")
+    vmax = max(float(mag.max()), 1e-12)
+    for seg in segments:
+        x0, y0 = seg[:, 0], seg[:, 1]
+        z0 = zspline(y0, x0, grid=False)
+        ax.plot(x0, y0, z0 + 0.01 * vmax,
+                color=cmap(float(z0.mean()) / vmax), linewidth=0.9)
+    ax.view_init(elev=48, azim=-120)
+    ax.set_xlabel("$x$")
+    ax.set_ylabel("$y$")
+    ax.set_zlabel(r"$|\mathbf{u}|$")
+    ax.set_box_aspect((1, 1, 0.45))
+    path = Path(output_dir) / "streamlines_3d.png"
+    fig.savefig(path, dpi=dpi)
+    plt.close(fig)
+    return path

@@ -37,16 +37,24 @@ def pytest_addoption(parser):
         "--runslow", action="store_true", default=False,
         help="run tests marked slow (long end-to-end solves; the default "
              "tier must finish in <5 min on a 1-core host)")
+    parser.addoption(
+        "--runtpu", action="store_true", default=False,
+        help="run tests marked tpu (on-device smoke checks in a clean "
+             "subprocess; needs the TPU idle)")
 
 
 def pytest_collection_modifyitems(config, items):
-    if config.getoption("--runslow") or "slow" in (
-            config.getoption("-m") or ""):
-        return
-    skip = pytest.mark.skip(reason="slow tier: pass --runslow (or -m slow)")
+    mexpr = config.getoption("-m") or ""
+    run_slow = config.getoption("--runslow") or "slow" in mexpr
+    run_tpu = config.getoption("--runtpu") or "tpu" in mexpr
+    skip_slow = pytest.mark.skip(
+        reason="slow tier: pass --runslow (or -m slow)")
+    skip_tpu = pytest.mark.skip(reason="tpu tier: pass --runtpu (or -m tpu)")
     for item in items:
-        if "slow" in item.keywords:
-            item.add_marker(skip)
+        if not run_slow and "slow" in item.keywords:
+            item.add_marker(skip_slow)
+        if not run_tpu and "tpu" in item.keywords:
+            item.add_marker(skip_tpu)
 
 
 @pytest.fixture(scope="session")

@@ -200,6 +200,7 @@ class TestMainDriver:
         assert (art / "plots" / "convergence.pdf").exists()
         assert (art / "plots" / "ghia_comparison.pdf").exists()
         assert (art / "plots" / "streamlines.png").exists()
+        assert (art / "plots" / "streamlines_3d.png").exists()
 
     @pytest.mark.slow
     def test_plot_only_finds_existing_run(self, tmp_path, monkeypatch):
