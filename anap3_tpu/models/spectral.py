@@ -102,8 +102,12 @@ def make_fused_paths(ops, params, tol, metric: Optional[str] = None):
             return None, None
         step = make_tiled_sg_step(ops, algorithm=alg)
         m_every = 1 if n <= MAX_FUSED_N else 8
+        # the nine singular constant fields squeeze the N>192 VMEM budget;
+        # the rows buffer (chunk x 7 f32, lane-padded to 128) must shrink
+        max_chunk = 2000 if n > MAX_FUSED_N else None
         factory = lambda chunk, tol_, metric_: make_tiled_chunk_runner(
-            ops, chunk, tol_, WARMUP_ITERS, algorithm=alg,
+            ops, chunk if max_chunk is None else min(chunk, max_chunk),
+            tol_, WARMUP_ITERS, algorithm=alg,
             convergence_metric=metric_, metrics_every=m_every)
         return step, factory
     if alg == "x6" and n <= MAX_FUSED_N:

@@ -158,15 +158,17 @@ def _warn_if_degenerate(levels, params) -> None:
             int(params.nx), float(params.Re), fas_coarsest_n(float(params.Re)))
 
 
-# Ceiling for the FAS-forced (with_tau) x6 kernels: the three tau input
-# buffers on top of the x6 working set exceed VMEM at N=320 (the remote
-# Mosaic compile helper crashes); levels above this smooth via the XLA
-# step, which the V-cycle tolerates (operator-consistent at HIGHEST).
-# Practical note: an XLA fine level makes the whole-cycle jit graph
-# large — at N=320 compilation alone exceeded 45 min on the remote
-# tunnel, so N=256 is VMG's effective production ceiling (N=256 solves
-# end-to-end in ~7 min at Re=1000); use FSG/SG above it.
-MAX_TAU_N = 256
+# Ceiling for the FAS-forced (with_tau) x6 kernels = the tiled-kernel
+# ceiling: at N=320 the whole-height row phase plus the three tau input
+# buffers exceed VMEM, so levels above 256 smooth through ROW-BLOCKED
+# kernels (blk=64) that bound the row-phase temporaries. (Round-2 note,
+# superseded: with the unblocked kernels the N=320 tau tier failed to
+# compile and an XLA fine level blew the whole-cycle jit graph to a
+# >45-min remote compile; the blocked fused kernel keeps the cycle graph
+# small because Pallas calls are opaque to XLA.)
+MAX_TAU_N = 320
+# Levels above this row-block the smoothing kernel.
+_TAU_BLK_N = 256
 
 
 def build_fused_tau_steps(solver, levels) -> dict | None:
@@ -183,7 +185,9 @@ def build_fused_tau_steps(solver, levels) -> dict | None:
         return None
     from ..ops.pallas_tiled import make_tiled_sg_step
 
-    return {i: make_tiled_sg_step(lv.ops, algorithm="x6", with_tau=True)
+    return {i: make_tiled_sg_step(
+                lv.ops, algorithm="x6", with_tau=True,
+                blk=32 if lv.n > _TAU_BLK_N else None)
             for i, lv in enumerate(levels) if lv.n <= MAX_TAU_N}
 
 

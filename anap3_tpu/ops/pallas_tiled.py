@@ -62,8 +62,12 @@ MAX_TILED_N = 320
 # metrics pass quadratures totals while differentiating only the smooth
 # vorticity. Padded cells of the singular fields are zero, so the padding
 # invariant (padded state stays exactly zero) is preserved.
-_SING_NAMES = ("sing_u", "sing_v", "sing_dudx", "sing_dudy", "sing_dvdx",
-               "sing_dvdy", "sing_w", "sing_dwx", "sing_dwy")
+# sing_dudy and sing_dvdy are NOT kernel inputs: the exact identities
+# du_s/dy = dv_s/dx - omega_s (curl) and dv_s/dy = -du_s/dx (div-free)
+# reconstruct them in-kernel from fields already present — 662 KB of the
+# N=256 VMEM budget.
+_SING_NAMES = ("sing_u", "sing_v", "sing_dudx", "sing_dvdx",
+               "sing_w", "sing_dwx", "sing_dwy")
 
 # The matmul operators, in kernel argument order. The stage dots use
 # STACKED operators — DX2 = [Dx; Dxx] (2nfp, nfp), PX2 = [Gx; Ix]
@@ -142,13 +146,36 @@ class _DotEngine:
                 + _bf16_dot(a_hi[rows], o_lo[:]))
 
 
+def _auto_blk(ops: SpectralOps, blk: int | None) -> int | None:
+    """Row-block height heuristic: singular mode adds nine constant fields
+    (~3 MB at N=256), which pushes the whole-height row phase over the
+    ~16 MB VMEM budget above N=192 (measured: 18.5 MB at N=256) — block
+    the row phase to bound its temporaries."""
+    if blk is None and ops.sing_u is not None and ops.bc_u.shape[0] > 193:
+        return 64
+    return blk
+
+
+def _fit_blk(nfp: int, blk: int | None) -> int:
+    """Largest sublane-multiple divisor of ``nfp`` not exceeding ``blk``.
+
+    Padding granularity is fixed at 32 (below); the row-block height must
+    divide nfp, so a requested height is rounded DOWN to a divisor instead
+    of inflating the padding."""
+    if blk is None or blk >= nfp:
+        return nfp
+    best = 8
+    for cand in range(8, min(blk, nfp) + 1, 8):
+        if nfp % cand == 0:
+            best = cand
+    return best
+
+
 def _pad_ops(ops: SpectralOps, blk: int | None, algorithm: str):
     """Zero-pad everything to (nfp, nfp); embed the inner-grid operators."""
     nf = ops.bc_u.shape[0]
     ni = nf - 2
-    if blk is None:
-        blk = 32
-    nfp = -(-nf // blk) * blk
+    nfp = -(-nf // 32) * 32
 
     def pad(a, r0=0, c0=0):
         out = np.zeros((nfp, nfp), np.float64)
@@ -232,11 +259,15 @@ def _stage_machinery(refs, nfp, blk, algorithm):
             if sing:
                 U = u_b + refs["sing_u"][r, :]
                 V = v_b + refs["sing_v"][r, :]
-                R_u = -(U * (du_dx + refs["sing_dudx"][r, :])
-                        + V * (du_dy + refs["sing_dudy"][r, :])) \
+                s_dudx = refs["sing_dudx"][r, :]
+                s_dvdx = refs["sing_dvdx"][r, :]
+                # curl / div-free identities (see _SING_NAMES comment)
+                s_dudy = s_dvdx - refs["sing_w"][r, :]
+                R_u = -(U * (du_dx + s_dudx)
+                        + V * (du_dy + s_dudy)) \
                     - dp_dx + nu * lap_u
-                R_v = -(U * (dv_dx + refs["sing_dvdx"][r, :])
-                        + V * (dv_dy + refs["sing_dvdy"][r, :])) \
+                R_v = -(U * (dv_dx + s_dvdx)
+                        + V * (dv_dy - s_dudx)) \
                     - dp_dy + nu * lap_v
             else:
                 R_u = -(u_b * du_dx + v_b * du_dy) - dp_dx + nu * lap_u
@@ -267,16 +298,20 @@ def _stage_machinery(refs, nfp, blk, algorithm):
         vorticity-gradient dots act only on the SMOOTH omega (the singular
         gradient terms are the sampled sing_dwx/sing_dwy constants).
         """
+        # The single "Dx"/"DyT" operators are no longer kernel inputs (VMEM
+        # budget for the singular N=256 tier); the stacked DX2/DY2 products
+        # compute the needed halves — the discarded Dxx halves cost one
+        # extra dot per pass, paid only every metrics_every steps.
         u_c = eng.cache(su[:])
         v_c = eng.cache(sv[:])
-        LV[0:nfp, :] = eng.left("Dx", v_c)
+        LV[:] = eng.left("DX2", v_c)      # top half = Dx @ v
         zero = jnp.float32(0.0)
         energy = enstrophy = zero
         for i in range(nb):
             r = slice(i * blk, (i + 1) * blk)
             u_b = su[r, :]
             v_b = sv[r, :]
-            om = LV[r, :] - eng.right(u_c, "DyT", r)
+            om = LV[r, :] - eng.right(u_c, "DY2", r)[:, 0:nfp]
             LU[r, :] = om   # SMOOTH omega (the derivative dots act on this)
             w = W2d[r, :]
             if sing:
@@ -287,12 +322,12 @@ def _stage_machinery(refs, nfp, blk, algorithm):
             enstrophy = enstrophy + 0.5 * jnp.sum(w * om * om)
 
         om_c = eng.cache(LU[0:nfp, :])
-        LV[0:nfp, :] = eng.left("Dx", om_c)
+        LV[:] = eng.left("DX2", om_c)     # top half = Dx @ omega
         palinstrophy = zero
         for i in range(nb):
             r = slice(i * blk, (i + 1) * blk)
             dwx = LV[r, :]
-            dwy = eng.right(om_c, "DyT", r)
+            dwy = eng.right(om_c, "DY2", r)[:, 0:nfp]
             if sing:
                 dwx = dwx + refs["sing_dwx"][r, :]
                 dwy = dwy + refs["sing_dwy"][r, :]
@@ -347,9 +382,14 @@ def make_tiled_sg_step(ops: SpectralOps, interpret: bool = False,
     ``step(state, (tau_u, tau_v, tau_p))`` and adds the forcing to every
     stage residual (core.sg_step's ``tau`` hook).
     """
+    blk = _auto_blk(ops, blk)
     mats, scal, nf, ni, nfp = _pad_ops(ops, blk, algorithm)
+    # the single Dx/DyT operators stay in _pad_ops for the lane-batched
+    # kernel; these kernels slice the stacked products instead (VMEM)
+    for k in ("Dx", "DyT", "Dx_hi", "Dx_lo", "DyT_hi", "DyT_lo"):
+        mats.pop(k, None)
     _check_order(nf)
-    blk = nfp if blk is None else blk
+    blk = _fit_blk(nfp, blk)
     f32 = jnp.float32
     mat_names = list(mats)
     n_mats = len(mat_names)
@@ -403,6 +443,10 @@ def make_tiled_sg_step(ops: SpectralOps, interpret: bool = False,
         out_specs=(vmem(), vmem(), vmem(), vmem()),
         scratch_shapes=[pltpu.VMEM((nfp, nfp), f32) for _ in range(3)]
         + [pltpu.VMEM((2 * nfp, nfp), f32) for _ in range(3)],
+        # u_in/v_in/p_in are last read before the final output writes, so
+        # aliasing them onto the outputs saves three state buffers of VMEM
+        # (what pushes the N=320 with_tau variant over the ~16 MB budget)
+        input_output_aliases={n_mats: 0, n_mats + 1: 1, n_mats + 2: 2},
         interpret=interpret,
     )
     mat_list = [mats[k] for k in mat_names]
@@ -456,9 +500,14 @@ def make_tiled_chunk_runner(ops: SpectralOps, chunk: int, tolerance: float,
     # per-step exact; the reference's 1000-point downsample samples the
     # energy curves far sparser than any reasonable M anyway.
     metrics_every = max(1, int(metrics_every))
+    blk = _auto_blk(ops, blk)
     mats, scal, nf, ni, nfp = _pad_ops(ops, blk, algorithm)
+    # the single Dx/DyT operators stay in _pad_ops for the lane-batched
+    # kernel; these kernels slice the stacked products instead (VMEM)
+    for k in ("Dx", "DyT", "Dx_hi", "Dx_lo", "DyT_hi", "DyT_lo"):
+        mats.pop(k, None)
     _check_order(nf)
-    blk = nfp if blk is None else blk
+    blk = _fit_blk(nfp, blk)
     f32 = jnp.float32
     mat_names = list(mats)
     n_mats = len(mat_names)
@@ -468,7 +517,7 @@ def make_tiled_chunk_runner(ops: SpectralOps, chunk: int, tolerance: float,
         op_refs = dict(zip(mat_names, args[:n_mats]))
         (u_in, v_in, p_in, scal_ref, iscal_ref, rnorm_ref,
          u_out, v_out, p_out, rows_out, state_out, rnorm_out,
-         su, sv, sp, bu, bv, bp, LU, LV, LP) = args[n_mats:]
+         su, sv, sp, LU, LV, LP) = args[n_mats:]
 
         start_iter = iscal_ref[0, 0]
         u_out[:] = u_in[:]
@@ -483,21 +532,21 @@ def make_tiled_chunk_runner(ops: SpectralOps, chunk: int, tolerance: float,
             done = done_i > 0
             idx = start_iter + i
 
-            # u_out/v_out/p_out hold the current (pre-step) state
+            # u_out/v_out/p_out hold the current (pre-step) state and stay
+            # unchanged until the commit below, so they double as the RK
+            # base-state operands (no bu/bv/bp scratch copies — ~1 MB of
+            # VMEM at N=256, part of the singular-mode budget)
             su[:] = u_out[:]
             sv[:] = v_out[:]
             sp[:] = p_out[:]
             u_prev_norm = jnp.sqrt(jnp.sum(u_out[:] * u_out[:]))
             v_prev_norm = jnp.sqrt(jnp.sum(v_out[:] * v_out[:]))
-            bu[:] = u_out[:]
-            bv[:] = v_out[:]
-            bp[:] = p_out[:]
 
             dt = _adaptive_dt(su, sv, scal_ref, op_refs.get("sing_u"),
                               op_refs.get("sing_v"))
             acc = (jnp.float32(0), jnp.float32(0), jnp.float32(0))
             for k, alpha in enumerate(_RK4_ALPHAS):
-                acc = run_stage(alpha * dt, bu, bv, bp,
+                acc = run_stage(alpha * dt, u_out, v_out, p_out,
                                 accumulate=(k == len(_RK4_ALPHAS) - 1))
             if metrics_every == 1:
                 energy, enstrophy, palinstrophy = metrics_pass()
@@ -506,8 +555,8 @@ def make_tiled_chunk_runner(ops: SpectralOps, chunk: int, tolerance: float,
                     idx % metrics_every == 0,
                     metrics_pass, lambda: (e_c, z_c, pl_c))
 
-            du = jnp.sqrt(jnp.sum((su[:] - bu[:]) ** 2))
-            dv = jnp.sqrt(jnp.sum((sv[:] - bv[:]) ** 2))
+            du = jnp.sqrt(jnp.sum((su[:] - u_out[:]) ** 2))
+            dv = jnp.sqrt(jnp.sum((sv[:] - v_out[:]) ** 2))
             rel = jnp.maximum(du / (u_prev_norm + 1e-12),
                               dv / (v_prev_norm + 1e-12))
 
@@ -571,8 +620,11 @@ def make_tiled_chunk_runner(ops: SpectralOps, chunk: int, tolerance: float,
         out_specs=(vmem(), vmem(), vmem(), vmem(),
                    pl.BlockSpec(memory_space=pltpu.SMEM),
                    pl.BlockSpec(memory_space=pltpu.SMEM)),
-        scratch_shapes=[pltpu.VMEM((nfp, nfp), f32) for _ in range(6)]
+        scratch_shapes=[pltpu.VMEM((nfp, nfp), f32) for _ in range(3)]
         + [pltpu.VMEM((2 * nfp, nfp), f32) for _ in range(3)],
+        # the state inputs are only read in the initial u_out[:] = u_in[:]
+        # copies; aliasing them onto the outputs saves three VMEM buffers
+        input_output_aliases={n_mats: 0, n_mats + 1: 1, n_mats + 2: 2},
         interpret=interpret,
     )
     mat_list = [mats[k] for k in mat_names]

@@ -53,7 +53,8 @@ def march(n, re, state=None, max_steps=None):
         state = core.SpectralState(*core.enforce_bc(ops, state.u, state.v),
                                    p=state.p)
     m_every = 1 if n <= 192 else 8
-    runner = make_tiled_chunk_runner(ops, CHUNK, 1e-30, 10,
+    chunk = CHUNK if n <= 192 else 2000   # VMEM: rows buffer at N>192
+    runner = make_tiled_chunk_runner(ops, chunk, 1e-30, 10,
                                      metrics_every=m_every)
     rn = jnp.float32(np.inf)
     max_steps = max_steps or MAX_STEPS.get(n, 10_000_000)
@@ -62,7 +63,7 @@ def march(n, re, state=None, max_steps=None):
     e_hist = []
     while it < max_steps:
         state, done, conv, cv, rows, rn = runner(state, jnp.int32(it), rn)
-        it += CHUNK
+        it += chunk
         e = float(np.asarray(rows)[-1, 4])
         if not np.isfinite(e):
             print(f"Re={re:g} N={n}: DIVERGED at {it}", flush=True)
@@ -71,7 +72,7 @@ def march(n, re, state=None, max_steps=None):
         if it % 500_000 == 0:
             print(f"  Re={re:g} N={n} it={it/1e6:.1f}M E={e:.6f} "
                   f"({it/(time.time()-t0):,.0f} steps/s)", flush=True)
-        k = 100_000 // CHUNK
+        k = 100_000 // chunk
         if len(e_hist) > 2 * k and abs(e_hist[-1] - e_hist[-1 - k]) \
                 < DE_PLATEAU and abs(e_hist[-1 - k] - e_hist[-1 - 2 * k]) \
                 < DE_PLATEAU:
