@@ -62,6 +62,34 @@ class TestBatchedSweep:
                 res.history["energy"][k][:50],
                 np.asarray(single.history["energy"][:50]), rtol=1e-8)
 
+    def test_singular_mode_lanes_batch(self):
+        """Sweep lanes in corner_treatment=singular mode vmap correctly:
+        the nine optional constant fields stack like any other ops leaf
+        and each lane matches its standalone singular solve."""
+        n_fixed = 200
+        opses, states, singles = [], [], []
+        for Re in (100.0, 200.0):
+            p = make_params(Re, n=16, corner_treatment="singular")
+            ops, _ = core.build_spectral_ops(p)
+            state = core.initial_state(ops)
+            opses.append(ops)
+            states.append(state)
+            r = run_fixed_point(lambda s, o=ops: core.sg_step(o, s),
+                                lambda s: (s.u, s.v), state,
+                                tolerance=1e-14, max_iterations=n_fixed)
+            singles.append(r)
+
+        batched_ops = sweep_mod.stack_ops(opses)
+        assert batched_ops.sing_u.shape[0] == 2  # stacked, not None
+        batched_states = jax.tree.map(lambda *a: jnp.stack(a), *states)
+        res = sweep_mod.run_batched_sweep(
+            core.sg_step, lambda s: (s.u, s.v), batched_ops, batched_states,
+            tolerance=1e-14, max_iterations=n_fixed, chunk=50)
+        for k in range(2):
+            np.testing.assert_allclose(np.asarray(res.states.u[k]),
+                                       np.asarray(singles[k].state.u),
+                                       rtol=1e-8, atol=1e-10)
+
     def test_diverged_lane_isolation(self):
         """A NaN lane must freeze without corrupting healthy lanes."""
         good = make_params(100.0)
