@@ -343,9 +343,30 @@ class VMGSolver(SGSolver):
     def _fused_steps(self, levels) -> dict | None:
         return build_fused_tau_steps(self, levels)
 
+    def _reject_singular(self) -> bool:
+        """FAS V-cycles drift in singular mode: the near-corner residual
+        (|grad u_s| ~ 1/r terms) aliases through the defect restriction into
+        a biased tau (measured: Re=100 N=48 [48,24] reaches energy 0.159 vs
+        the physical 0.034 after 10k cycles). The FSG cascade — no defect
+        transfer — handles the sharp lid correctly; fall back to single-grid
+        here and point users at FSG."""
+        if not self._is_singular():
+            return False
+        log.warning(
+            "FAS V-cycle multigrid does not support "
+            "corner_treatment=singular (defect restriction aliases the "
+            "near-corner residual; measured drift at Re=100 N=48). "
+            "Falling back to the single-grid solve; use "
+            "solver=spectral/fsg convergence_metric=energy for sharp-lid "
+            "multigrid.")
+        return True
+
     def solve(self, tolerance: float = None, max_iter: int = None) -> None:
         tol = self.params.tolerance if tolerance is None else tolerance
         max_iter = self.params.max_iterations if max_iter is None else max_iter
+        if self._reject_singular():
+            super().solve(tolerance=tol, max_iter=max_iter)
+            return
         levels = build_vmg_levels(self.params)
         log.info("VMG hierarchy: N = %s (FAS floor %d for Re=%g), "
                  "full-strength corrections",
@@ -389,11 +410,16 @@ class FMGSolver(SGSolver):
     NU_COARSE = 30
     SUPPORTS_SPATIAL_MESH = False
 
+    _reject_singular = VMGSolver._reject_singular
+
     def solve(self, tolerance: float = None, max_iter: int = None) -> None:
         import time
 
         tol = self.params.tolerance if tolerance is None else tolerance
         max_iter = self.params.max_iterations if max_iter is None else max_iter
+        if self._reject_singular():
+            super().solve(tolerance=tol, max_iter=max_iter)
+            return
         levels = build_vmg_levels(self.params)  # fine -> coarse
         coarse_to_fine = levels[::-1]
         log.info("FMG hierarchy: N = %s", [lv.n for lv in coarse_to_fine])
