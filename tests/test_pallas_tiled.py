@@ -67,6 +67,36 @@ class TestTiledStep:
         np.testing.assert_allclose(np.asarray(s_one.u), np.asarray(s_blk.u),
                                    atol=1e-6)
 
+    def test_fit_blk_rounds_down_to_divisor(self):
+        """Requested block heights that do not divide nfp round DOWN to a
+        divisor instead of inflating the padding (nfp stays 32-granular)."""
+        from anap3_tpu.ops.pallas_tiled import _fit_blk
+
+        assert _fit_blk(288, 64) == 48
+        assert _fit_blk(288, 32) == 32
+        assert _fit_blk(160, 64) == 40
+        assert _fit_blk(32, None) == 32
+        assert _fit_blk(352, 32) == 32
+
+    def test_blocked_chunk_runner_matches_whole_height(self):
+        """The blocked row phase (used by singular N>192 and the VMG N=320
+        tau tier) is bit-compatible with the whole-height kernel, metric
+        rows included."""
+        from anap3_tpu.ops.pallas_tiled import make_tiled_chunk_runner
+
+        ops = make_ops(N=16)
+        state = core.initial_state(ops)
+        a = make_tiled_chunk_runner(ops, 3, 1e-30, 10, interpret=True,
+                                    algorithm="x6")
+        b = make_tiled_chunk_runner(ops, 3, 1e-30, 10, interpret=True,
+                                    algorithm="x6", blk=8)
+        sa, *_ra = a(state, jnp.int32(0), jnp.float32(np.inf))
+        sb, *_rb = b(state, jnp.int32(0), jnp.float32(np.inf))
+        np.testing.assert_allclose(np.asarray(sa.u), np.asarray(sb.u),
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(_ra[-2]), np.asarray(_rb[-2]),
+                                   rtol=1e-5)
+
     def test_order_cap(self):
         ops = make_ops(N=16)
         with pytest.raises(ValueError):
