@@ -132,6 +132,8 @@ def save(state, re, n):
 def load(re, n):
     f = Path(f"/tmp/singhr_Re{int(re)}_N{n}.npz")
     if not f.exists():
+        f = Path(f"/root/repo/outputs/singhr/singhr_Re{int(re)}_N{n}.npz")
+    if not f.exists():
         return None
     d = np.load(f)
     return core.SpectralState(u=jnp.asarray(d["u"]), v=jnp.asarray(d["v"]),
