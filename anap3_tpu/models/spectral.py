@@ -60,6 +60,16 @@ def resolve_convergence_metric(params, n: Optional[int] = None,
     return auto_large if n >= AUTO_ENERGY_MIN_N else "rel_iter"
 
 
+def effective_chunk(chunk_runner_factory, requested: int) -> int:
+    """Chunk length to book with run_fixed_point for a fused runner.
+
+    A factory may advertise ``max_chunk`` (VMEM-bound kernels cap the rows
+    buffer); the solver must dispatch and account with the SAME value the
+    kernel actually runs."""
+    mc = getattr(chunk_runner_factory, "max_chunk", None)
+    return int(requested) if not mc else min(int(requested), int(mc))
+
+
 def make_fused_paths(ops, params, tol, metric: Optional[str] = None):
     """Select the fused TPU kernel tier for this grid size.
 
@@ -103,12 +113,17 @@ def make_fused_paths(ops, params, tol, metric: Optional[str] = None):
         step = make_tiled_sg_step(ops, algorithm=alg)
         m_every = 1 if n <= MAX_FUSED_N else 8
         # the nine singular constant fields squeeze the N>192 VMEM budget;
-        # the rows buffer (chunk x 7 f32, lane-padded to 128) must shrink
+        # the rows buffer (chunk x 7 f32, lane-padded to 128) must shrink.
+        # The cap is ADVERTISED via factory.max_chunk so the solvers clamp
+        # the chunk they book with run_fixed_point to the same value — a
+        # silently smaller rows buffer would crash the history masking and
+        # corrupt iteration accounting.
         max_chunk = 2000 if n > MAX_FUSED_N else None
         factory = lambda chunk, tol_, metric_: make_tiled_chunk_runner(
             ops, chunk if max_chunk is None else min(chunk, max_chunk),
             tol_, WARMUP_ITERS, algorithm=alg,
             convergence_metric=metric_, metrics_every=m_every)
+        factory.max_chunk = max_chunk
         return step, factory
     if alg == "x6" and n <= MAX_FUSED_N:
         step = make_pallas_sg_step(ops)
@@ -216,7 +231,7 @@ class SGSolver(CavitySolver):
             self.state,
             tolerance=tol,
             max_iterations=max_iter,
-            chunk=self.params.chunk_size,
+            chunk=effective_chunk(chunk_runner, self.params.chunk_size),
             log_callback=self._log_callback,
             checkpoint_mgr=ckpt_mgr,
             start_iteration=start_iter,
@@ -518,7 +533,7 @@ class FSGSolver(SGSolver):
             result = run_fixed_point(
                 step, lambda s: (s.u, s.v), state,
                 tolerance=level_tol, max_iterations=max_iter,
-                chunk=self.params.chunk_size,
+                chunk=effective_chunk(chunk_runner, self.params.chunk_size),
                 log_callback=self._log_callback
                 if level_idx == len(orders) - 1 else None,
                 convergence_metric=metric,

@@ -161,7 +161,8 @@ def _warn_if_degenerate(levels, params) -> None:
 # Ceiling for the FAS-forced (with_tau) x6 kernels = the tiled-kernel
 # ceiling: at N=320 the whole-height row phase plus the three tau input
 # buffers exceed VMEM, so levels above 256 smooth through ROW-BLOCKED
-# kernels (blk=64) that bound the row-phase temporaries. (Round-2 note,
+# kernels (blk=32, matching build_fused_tau_steps below) that bound the
+# row-phase temporaries. (Round-2 note,
 # superseded: with the unblocked kernels the N=320 tau tier failed to
 # compile and an XLA fine level blew the whole-cycle jit graph to a
 # >45-min remote compile; the blocked fused kernel keeps the cycle graph

@@ -71,7 +71,8 @@ def singular_min_n(Re: float) -> int:
 
         Re=400: 16/12,  Re=1000: 24/16,  Re=3200: 40/-
 
-    i.e. ~0.7 sqrt(Re); the 0.8 coefficient covers the untested marginals.
+    i.e. ~0.7 sqrt(Re); the 0.75 coefficient covers the untested marginals
+    while keeping every measured stable point admissible.
     (The earlier u_tilde = 0 start — total flow = the O(1) corner field —
     needed 20/32/96 at Re=400/1000/3200: most of the danger was the
     non-physical initial transient.) Warm starts (Re-continuation,
@@ -104,14 +105,15 @@ def _corner_terms(xi, eta, U, v_sign, dth_dx_sign, dwx_sign):
     """All singular fields of ONE corner, in GLOBAL (x, y) components.
 
     ``xi``/``eta`` are the local wall-aligned coordinates (lid ray, wall ray,
-    both >= 0 inside the cavity). The two corners differ only in three signs:
+    both >= 0 inside the cavity). The two corners differ only in three signs
+    (exactly as ``_both_corners`` passes them; FD-pinned by the tests):
 
     - corner B (lid toward corner): xi = Lx-x, eta = Ly-y; global u = -u_xi,
-      v = -u_eta; dtheta/dx = +eta/r^2 => ``v_sign=-1, dth_dx_sign=+1,
+      v = -u_eta; dtheta/dx = +eta/r^2 => ``v_sign=+1, dth_dx_sign=+1,
       dwx_sign=-1``;
     - corner A (lid away from corner): xi = x, eta = Ly-y; global u = +u_xi,
       v = -u_eta, worked through the auxiliary streamfunction chi = -psi of
-      the left-handed frame => ``v_sign=+1, dth_dx_sign=-1, dwx_sign=+1``.
+      the left-handed frame => ``v_sign=-1, dth_dx_sign=-1, dwx_sign=+1``.
 
     Singular quantities (all derivative fields, omega, grad omega, p/nu) are
     zeroed AT the corner node itself (r == 0): those samples only ever feed

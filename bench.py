@@ -342,14 +342,29 @@ def _device_available(timeout_s: int = 600) -> bool:
     a hung bench run records nothing. The probe keeps the failure bounded
     so the CPU fallback can still produce an honest JSON line.
     """
+    import signal
     import subprocess
 
     try:
-        r = subprocess.run(
+        proc = subprocess.Popen(
             [sys.executable, "-c",
              "import jax; jax.devices(); print('ok')"],
-            capture_output=True, text=True, timeout=timeout_s)
-        return r.returncode == 0 and "ok" in r.stdout
+            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True)
+        try:
+            out, _ = proc.communicate(timeout=timeout_s)
+            return proc.returncode == 0 and "ok" in (out or "")
+        except subprocess.TimeoutExpired:
+            # SIGTERM first so the client can close its pool grant (an
+            # abnormally killed TPU client leaves a stale grant that wedges
+            # the next client for ~1h — the failure this probe guards
+            # against must not be caused by the probe itself)
+            proc.send_signal(signal.SIGTERM)
+            try:
+                proc.wait(timeout=30)
+            except subprocess.TimeoutExpired:
+                proc.kill()
+                proc.wait()
+            return False
     except Exception:
         return False
 

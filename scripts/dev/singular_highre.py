@@ -35,6 +35,8 @@ TARGET_RE = float(sys.argv[1]) if len(sys.argv) > 1 else 10000.0
 NF = int(sys.argv[2]) if len(sys.argv) > 2 else 256
 NC = 128
 RE_PATH = [re for re in (3200.0, 5000.0, 7500.0, 10000.0) if re <= TARGET_RE]
+if not RE_PATH:
+    RE_PATH = [TARGET_RE]  # below the cascade ladder: march directly
 CHUNK = 5000
 DE_PLATEAU = 2e-6   # |dE| per 100k steps at plateau
 MAX_STEPS = {NC: 30_000_000, NF: 8_000_000}

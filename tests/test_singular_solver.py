@@ -141,6 +141,31 @@ class TestSingularOps:
         assert min(s2._level_orders()) < singular_min_n(400)
 
 
+class TestChunkCap:
+    def test_fused_factory_advertises_chunk_cap(self):
+        """VMEM caps the singular N>192 rows buffer at 2000 steps; the
+        factory must ADVERTISE the cap and the solvers must book the same
+        chunk with run_fixed_point (a silently smaller rows buffer crashes
+        the history masking and corrupts iteration accounting)."""
+        from anap3_tpu.models.spectral import (effective_chunk,
+                                               make_fused_paths)
+
+        p = SpectralParameters(Re=1000.0, nx=256, ny=256, dtype="float32",
+                               corner_treatment="singular")
+        ops, _ = core.build_spectral_ops(p, dtype=jnp.float32)
+        _, factory = make_fused_paths(ops, p, 1e-6)
+        assert factory.max_chunk == 2000
+        assert effective_chunk(factory, 5000) == 2000
+        assert effective_chunk(factory, 1000) == 1000
+        assert effective_chunk(None, 5000) == 5000
+        # N <= 192 singular: uncapped
+        p2 = SpectralParameters(Re=1000.0, nx=128, ny=128, dtype="float32",
+                                corner_treatment="singular")
+        ops2, _ = core.build_spectral_ops(p2, dtype=jnp.float32)
+        _, f2 = make_fused_paths(ops2, p2, 1e-6)
+        assert effective_chunk(f2, 5000) == 5000
+
+
 class TestTiledSingularKernel:
     def test_step_parity_with_xla(self):
         """Tiled x6 kernel (interpret) vs core.sg_step on singular ops:
