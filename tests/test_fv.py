@@ -164,6 +164,7 @@ class TestVariants:
         bc = np.asarray(ops.bc_u_n)
         assert bc[0] < 0.5 and abs(bc[6] - 1.0) < 1e-12
 
+    @pytest.mark.slow  # ~70 s on the 1-core host (two f64 bicgstab compiles)
     def test_vmap_over_reynolds(self):
         """A batch of Re lanes must match per-lane solves (sweep correctness)."""
         nx = ny = 10
@@ -232,6 +233,7 @@ class TestFusedFVStep:
         base.update(over)
         return make_params(**base)
 
+    @pytest.mark.slow  # ~40 s interpret-mode; converges_like_xla stays fast
     def test_matches_xla_step(self):
         from anap3_tpu.ops.pallas_fv import make_pallas_fv_step
 

@@ -53,6 +53,7 @@ class TestLaneParity:
             np.testing.assert_allclose(A[:, 5:], R[:, 5:], rtol=1e-5)
             assert bool(done[b]) == bool(rdone)
 
+    @pytest.mark.slow  # ~16 s; lanes_match_b1 covers the parity in the fast tier
     def test_varying_lane_scalars(self):
         """CFL/beta/lid varying per lane (main._BATCHABLE_VARYING)."""
         ops_list = [mk_ops(100.0, CFL=1.0), mk_ops(100.0, CFL=1.5),

@@ -188,6 +188,7 @@ class TestGraftEntry:
         assert out.u.shape == (129, 129)
         assert np.isfinite(np.asarray(out.u)).all()
 
+    @pytest.mark.slow  # ~65 s; the driver runs dryrun_multichip every round
     def test_dryrun_multichip(self):
         if len(jax.devices()) < 8:
             pytest.skip("needs 8 virtual devices")
