@@ -105,13 +105,19 @@ def make_fused_paths(ops, params, tol, metric: Optional[str] = None):
     # host-side). Only the build-time tier gate needs the mapped value.
     effective = "rel_iter" if metric == "energy" else metric
     if ops.sing_u is not None:
-        # singular subtraction: only the tiled kernels carry the constant
-        # singular fields (the untiled x6 and bordered-core aligned kernels
-        # assume zero/lid-only borders)
+        # singular subtraction: the bordered-core aligned kernel carries the
+        # singular constants at N in {128, 256} (~3.5x the tiled rate at the
+        # headline size); the tiled kernels cover every other N <= 320. The
+        # untiled x6 kernel assumes zero/lid-only borders — never singular.
         if n > MAX_TILED_N:
             return None, None
         step = make_tiled_sg_step(ops, algorithm=alg)
         m_every = 1 if n <= MAX_FUSED_N else 8
+        if aligned_supported(n):
+            factory = lambda chunk, tol_, metric_: make_aligned_chunk_runner(
+                ops, chunk, tol_, WARMUP_ITERS, algorithm=alg,
+                convergence_metric=metric_, metrics_every=m_every)
+            return step, factory
         # the nine singular constant fields squeeze the N>192 VMEM budget;
         # the rows buffer (chunk x 7 f32, lane-padded to 128) must shrink.
         # The cap is ADVERTISED via factory.max_chunk so the solvers clamp

@@ -36,6 +36,18 @@ Same contract and state machine as ops/pallas_tiled.make_tiled_chunk_runner
 (rel_iter + residual criteria, warmup gate, NaN freeze, metrics_every);
 drop-in at the sizes it supports. The x3 bf16 decomposition is the
 production algorithm; "x6" (f32 HIGHEST) is available for validation.
+
+SINGULAR MODE (corner_treatment="singular", ops/singular.py) is supported
+by the same decomposition: the state is the smooth remainder u_tilde whose
+border values are still per-run constants (sharp BC minus the sampled
+corner flow), merely nonzero on every wall now. The generalization costs
+- rank-1 completions for the nonzero u-row / v-column / v-row borders
+  (CLU/CLV left, CV2 right — precomputed dense, one VPU add each),
+- seven sampled singular constant fields entering convection and the
+  conserved-quantity quadratures exactly as in the tiled kernel
+  (sing_dudy/sing_dvdy via the curl/div identities), and
+- generalized constant border strips for the full-grid diagnostics
+  (total wall velocities vanish, so strip convection stays precomputable).
 """
 
 from __future__ import annotations
@@ -57,16 +69,23 @@ MAX_ALIGNED_N = 256
 _MAT_NAMES = ("DX2", "PX2", "DY2", "Dx", "DyT", "IyT", "GyT",
               "RCOLS", "LROWS")
 
-# SMEM scalar layout (1, 16)
+# SMEM scalar layout (1, 24). Border constants are computed in their GENERAL
+# form (arbitrary constant borders) so the same kernel expressions serve both
+# the regularized-lid mode (u row / v borders = 0) and the singular mode
+# (every border of the smooth remainder is a nonzero per-run constant).
 (_NU, _BETA, _CFL, _LID, _IDX, _IDY, _LIDB, _DYT_BB, _DYYT_BB,
- _UBORD_SQ, _E_BORD, _CONV_BB, _LAPU_BB, _OM_BB, _WBB, _DX_BB) = range(16)
+ _UBORD_SQ, _E_BORD, _CONV_BB, _LAPU_BB, _OM_BB, _WBB, _DX_BB,
+ _VBORD_SQ, _CONVV_BB, _LAPV_BB) = range(19)
+_N_SCAL = 24
 
-# CCOL column layout (nc, 128): per-run constant COLUMN strips
-(_C_LID, _C_DUDX, _C_DUDXX, _C_WCOL, _C_DXCB, _C_IYTCB, _C_GYTCB,
- _C_DYTCB) = range(8)
+# CCOL column layout (nc, 128): per-run constant COLUMN strips (j = N)
+(_C_UCOL, _C_CONVU, _C_DUDXX, _C_WCOL, _C_DXCB, _C_IYTCB, _C_GYTCB,
+ _C_DYTCB, _C_CONVV, _C_DVDX, _C_DVDXX, _C_VCOL, _C_SW, _C_SDWX,
+ _C_SDWY) = range(15)
 
-# CROW row layout (8, nc): per-run constant ROW strips
-(_R_DYTBC, _R_DUDYY, _R_WROW) = range(3)
+# CROW row layout (8, nc): per-run constant ROW strips (i = N)
+(_R_DYTBC, _R_LAPU, _R_WROW, _R_LAPV, _R_OM, _R_SW, _R_SDWX,
+ _R_SDWY) = range(8)
 
 
 def aligned_supported(n: int) -> bool:
@@ -130,56 +149,115 @@ def _prep_aligned(ops: SpectralOps, algorithm: str):
         else:
             mats[name] = jnp.asarray(a32)
 
-    lid = A(ops.bc_u)[:, nf - 1]       # u's last column (lid profile)
-    lidc, lidb = lid[:nc], float(lid[nc])
+    sing = ops.sing_u is not None
+    bcu, bcv = A(ops.bc_u), A(ops.bc_v)
+    # constant borders of the STATE: column strip j=N, row strip i=N, corner
+    ucol, urow, ubb = bcu[:nc, nc], bcu[nc, :nc], float(bcu[nc, nc])
+    vcol, vrow, vbb = bcv[:nc, nc], bcv[nc, :nc], float(bcv[nc, nc])
     W2d = A(ops.W2d)
+    if sing:
+        s_u, s_v = A(ops.sing_u), A(ops.sing_v)
+        s_dudx, s_dvdx = A(ops.sing_dudx), A(ops.sing_dvdx)
+        s_w, s_dwx, s_dwy = A(ops.sing_w), A(ops.sing_dwx), A(ops.sing_dwy)
+    else:
+        s_u = s_v = s_dudx = s_dvdx = s_w = s_dwx = s_dwy = \
+            np.zeros((nf, nf))
+    # TOTAL border velocities (state + singular samples): on the walls these
+    # cancel exactly; on the lid column they equal the (sharp or treated) lid
+    utot_col, utot_bb = ucol + s_u[:nc, nc], ubb + float(s_u[nc, nc])
+    utot_row = urow + s_u[nc, :nc]
+    vtot_col, vtot_row = vcol + s_v[:nc, nc], vrow + s_v[nc, :nc]
+    assert np.allclose(vtot_col, 0) and np.allclose(vtot_row, 0) \
+        and np.allclose(utot_row, 0), "wall totals must vanish"
 
-    # lid column's rank-1 contribution to RU = u @ [DyT | DyyT]
-    cu2 = np.outer(lidc, np.concatenate([DyT[nc, :nc], DyyT[nc, :nc]]))
-    mats["CU2"] = jnp.asarray(cu2, jnp.float32)
+    # border columns' rank-1 contributions to RU/RV = state @ [DyT | DyyT]
+    dy2row = np.concatenate([DyT[nc, :nc], DyyT[nc, :nc]])
+    mats["CU2"] = jnp.asarray(np.outer(ucol, dy2row), jnp.float32)
+    if sing:
+        mats["CV2"] = jnp.asarray(np.outer(vcol, dy2row), jnp.float32)
+        # border rows' rank-1 contributions to LU/LV = [Dx; Dxx] @ state
+        dx2col = np.concatenate([Dx[:nc, nc], Dxx[:nc, nc]])
+        mats["CLU"] = jnp.asarray(np.outer(dx2col, urow), jnp.float32)
+        mats["CLV"] = jnp.asarray(np.outer(dx2col, vrow), jnp.float32)
+        # constant core fields: stage BC values + the singular samples
+        # (sing_dudy / sing_dvdy via the curl/div identities, as in
+        # pallas_tiled._SING_NAMES)
+        for name, arr in (("BCU", bcu), ("BCV", bcv), ("SU", s_u),
+                          ("SV", s_v), ("SDUDX", s_dudx),
+                          ("SDVDX", s_dvdx), ("SW", s_w),
+                          ("SDWX", s_dwx), ("SDWY", s_dwy)):
+            mats[name] = jnp.asarray(arr[:nc, :nc], jnp.float32)
 
+    # constant parts of the j=N column strips (all f64 host math)
+    dudx_cb = Dx[:nc, :nc] @ ucol + Dx[:nc, nc] * ubb
+    dvdx_cb = Dx[:nc, :nc] @ vcol + Dx[:nc, nc] * vbb
     ccol = np.zeros((nc, 128))
-    ccol[:, _C_LID] = lidc
-    ccol[:, _C_DUDX] = Dx[:nc, :nc] @ lidc + Dx[:nc, nc] * lidb
-    ccol[:, _C_DUDXX] = Dxx[:nc, :nc] @ lidc + Dxx[:nc, nc] * lidb
+    ccol[:, _C_UCOL] = ucol
+    ccol[:, _C_CONVU] = utot_col * (dudx_cb + s_dudx[:nc, nc])
+    ccol[:, _C_DUDXX] = Dxx[:nc, :nc] @ ucol + Dxx[:nc, nc] * ubb
     ccol[:, _C_WCOL] = W2d[:nc, nc]
     ccol[:, _C_DXCB] = Dx[:nc, nc]
     ccol[:, _C_IYTCB] = IyTe[:nc, nc]
     ccol[:, _C_GYTCB] = GyTe[:nc, nc]
     ccol[:, _C_DYTCB] = DyT[:nc, nc]
+    ccol[:, _C_CONVV] = utot_col * (dvdx_cb + s_dvdx[:nc, nc])
+    ccol[:, _C_DVDX] = dvdx_cb
+    ccol[:, _C_DVDXX] = Dxx[:nc, :nc] @ vcol + Dxx[:nc, nc] * vbb
+    ccol[:, _C_VCOL] = vcol
+    ccol[:, _C_SW] = s_w[:nc, nc]
+    ccol[:, _C_SDWX] = s_dwx[:nc, nc]
+    ccol[:, _C_SDWY] = s_dwy[:nc, nc]
     mats["CCOL"] = jnp.asarray(ccol, jnp.float32)
 
     crow = np.zeros((8, nc))
     crow[_R_DYTBC] = DyT[nc, :nc]
-    crow[_R_DUDYY] = lidb * DyyT[nc, :nc]
+    crow[_R_LAPU] = Dxx[nc, nc] * urow + urow @ DyyT[:nc, :nc] \
+        + ubb * DyyT[nc, :nc]
     crow[_R_WROW] = W2d[nc, :nc]
+    crow[_R_LAPV] = Dxx[nc, nc] * vrow + vrow @ DyyT[:nc, :nc] \
+        + vbb * DyyT[nc, :nc]
+    crow[_R_OM] = Dx[nc, nc] * vrow - urow @ DyT[:nc, :nc] \
+        - ubb * DyT[nc, :nc]
+    crow[_R_SW] = s_w[nc, :nc]
+    crow[_R_SDWX] = s_dwx[nc, :nc]
+    crow[_R_SDWY] = s_dwy[nc, :nc]
     mats["CROW"] = jnp.asarray(crow, jnp.float32)
 
     mats["interior"] = jnp.asarray(
         A(ops.interior)[:nc, :nc], jnp.float32)
     mats["W2d"] = jnp.asarray(W2d[:nc, :nc], jnp.float32)
 
-    c_dudx_bb = float(Dx[nc, :nc] @ lidc + Dx[nc, nc] * lidb)
-    c_dudxx_bb = float(Dxx[nc, :nc] @ lidc + Dxx[nc, nc] * lidb)
-    scal = np.zeros(16)
+    dudx_bb = float(Dx[nc, :nc] @ ucol + Dx[nc, nc] * ubb)
+    dvdx_bb = float(Dx[nc, :nc] @ vcol + Dx[nc, nc] * vbb)
+    scal = np.zeros(_N_SCAL)
     scal[_NU] = float(ops.nu)
     scal[_BETA] = float(ops.beta_sq)
     scal[_CFL] = float(ops.CFL)
     scal[_LID] = float(ops.lid_velocity)
     scal[_IDX] = float(ops.inv_dx_min)
     scal[_IDY] = float(ops.inv_dy_min)
-    scal[_LIDB] = lidb
+    scal[_LIDB] = ubb  # kept for layout stability (reads folded into _R_OM)
     scal[_DYT_BB] = DyT[nc, nc]
     scal[_DYYT_BB] = DyyT[nc, nc]
-    scal[_UBORD_SQ] = float(np.sum(lidc**2) + lidb**2)
-    scal[_E_BORD] = 0.5 * float(W2d[:nc, nc] @ lidc**2
-                                + W2d[nc, nc] * lidb**2)
-    scal[_CONV_BB] = lidb * c_dudx_bb
-    scal[_LAPU_BB] = c_dudxx_bb + lidb * DyyT[nc, nc]
-    scal[_OM_BB] = -lidb * DyT[nc, nc]
+    scal[_UBORD_SQ] = float(ucol @ ucol + ubb**2 + urow @ urow)
+    scal[_VBORD_SQ] = float(vcol @ vcol + vbb**2 + vrow @ vrow)
+    # border energy / corner residual constants run over TOTALS
+    scal[_E_BORD] = 0.5 * float(
+        W2d[:nc, nc] @ (utot_col**2 + vtot_col**2)
+        + W2d[nc, nc] * utot_bb**2
+        + W2d[nc, :nc] @ (utot_row**2 + vtot_row**2))
+    scal[_CONV_BB] = utot_bb * (dudx_bb + float(s_dudx[nc, nc]))
+    scal[_CONVV_BB] = utot_bb * (dvdx_bb + float(s_dvdx[nc, nc]))
+    scal[_LAPU_BB] = float(Dxx[nc, :nc] @ ucol + Dxx[nc, nc] * ubb
+                           + urow @ DyyT[:nc, nc] + ubb * DyyT[nc, nc])
+    scal[_LAPV_BB] = float(Dxx[nc, :nc] @ vcol + Dxx[nc, nc] * vbb
+                           + vrow @ DyyT[:nc, nc] + vbb * DyyT[nc, nc])
+    scal[_OM_BB] = float(Dx[nc, :nc] @ vcol + Dx[nc, nc] * vbb
+                         - urow @ DyT[:nc, nc] - ubb * DyT[nc, nc])
     scal[_WBB] = W2d[nc, nc]
     scal[_DX_BB] = Dx[nc, nc]
-    return mats, jnp.asarray(scal, jnp.float32).reshape(1, 16), nf, ni, nc
+    return (mats, jnp.asarray(scal, jnp.float32).reshape(1, _N_SCAL),
+            nf, ni, nc)
 
 
 def _corner_dot(row, col):
@@ -231,7 +309,7 @@ def make_aligned_chunk_runner(ops: SpectralOps, chunk: int, tolerance: float,
         s = lambda i: scal_ref[0, i]
         nu = s(_NU)
         beta_sq = s(_BETA)
-        lidb = s(_LIDB)
+        sing = "SU" in refs
 
         def col(i):
             return ccol[:, i:i + 1]
@@ -247,12 +325,17 @@ def make_aligned_chunk_runner(ops: SpectralOps, chunk: int, tolerance: float,
             p_c = eng.cache(sp[:])
             LU[:] = eng.left("DX2", u_c)      # [Dx@u ; Dxx@u] core
             LV[:] = eng.left("DX2", v_c)
+            if sing:                          # border-row rank-1 completions
+                LU[:] = LU[:] + refs["CLU"][:]
+                LV[:] = LV[:] + refs["CLV"][:]
             LP[:] = eng.left("PX2", p_c)      # [a5 ; a6] core
             a5_c = eng.cache(LP[0:nc, :])
             a6_c = eng.cache(LP[nc:2 * nc, :])
 
-            RU = eng.right(u_c, "DY2") + cu2  # lid rank-1 completion
+            RU = eng.right(u_c, "DY2") + cu2  # border-column completion
             RV = eng.right(v_c, "DY2")
+            if sing:
+                RV = RV + refs["CV2"][:]
             dpx = eng.right(a5_c, "IyT")
             dpy = eng.right(a6_c, "GyT")
 
@@ -264,12 +347,32 @@ def make_aligned_chunk_runner(ops: SpectralOps, chunk: int, tolerance: float,
             dv_dy = RV[:, 0:nc]
             lap_u = LU[nc:2 * nc, :] + RU[:, nc:2 * nc]
             lap_v = LV[nc:2 * nc, :] + RV[:, nc:2 * nc]
-            R_u = -(u_b * du_dx + v_b * du_dy) - dpx + nu * lap_u
-            R_v = -(u_b * dv_dx + v_b * dv_dy) - dpy + nu * lap_v
+            if sing:
+                # convection rides the TOTAL velocity; the singular
+                # derivatives are sampled constants (identities:
+                # s_dudy = s_dvdx - s_w, s_dvdy = -s_dudx)
+                U = u_b + refs["SU"][:]
+                V = v_b + refs["SV"][:]
+                s_dudx = refs["SDUDX"][:]
+                s_dvdx = refs["SDVDX"][:]
+                s_dudy = s_dvdx - refs["SW"][:]
+                R_u = -(U * (du_dx + s_dudx) + V * (du_dy + s_dudy)) \
+                    - dpx + nu * lap_u
+                R_v = -(U * (dv_dx + s_dvdx) + V * (dv_dy - s_dudx)) \
+                    - dpy + nu * lap_v
+            else:
+                R_u = -(u_b * du_dx + v_b * du_dy) - dpx + nu * lap_u
+                R_v = -(u_b * dv_dx + v_b * dv_dy) - dpy + nu * lap_v
             R_p = -beta_sq * (du_dx + dv_dy) * intr
 
-            su[:] = jnp.where(intr > 0.5, bu[:] + adt * R_u, 0.0)
-            sv[:] = jnp.where(intr > 0.5, bv[:] + adt * R_v, 0.0)
+            if sing:
+                su[:] = jnp.where(intr > 0.5, bu[:] + adt * R_u,
+                                  refs["BCU"][:])
+                sv[:] = jnp.where(intr > 0.5, bv[:] + adt * R_v,
+                                  refs["BCV"][:])
+            else:
+                su[:] = jnp.where(intr > 0.5, bu[:] + adt * R_u, 0.0)
+                sv[:] = jnp.where(intr > 0.5, bv[:] + adt * R_v, 0.0)
             sp[:] = bp[:] + adt * R_p
             if not accumulate:
                 return None
@@ -287,23 +390,26 @@ def make_aligned_chunk_runner(ops: SpectralOps, chunk: int, tolerance: float,
             Lv8 = eng.left("LROWS", v_c)
             Lp8 = eng.left("LROWS", p_c)     # rows 2,3: a5_bc, a6_bc
 
-            # column strip (j = N): u = lid (const), v = 0
-            du_dyy_cb = TU[:, 1:2] + col(_C_LID) * s(_DYYT_BB)
-            R_u_cb = (-col(_C_LID) * col(_C_DUDX) - T5[:, 2:3]
+            # column strip (j = N): total v = 0 and total u is constant,
+            # so the convection terms are precomputed (_C_CONVU/_C_CONVV)
+            du_dyy_cb = TU[:, 1:2] + col(_C_UCOL) * s(_DYYT_BB)
+            R_u_cb = (-col(_C_CONVU) - T5[:, 2:3]
                       + nu * (col(_C_DUDXX) + du_dyy_cb))
-            R_v_cb = -T6[:, 3:4] + nu * TV[:, 1:2]
-            # row strip (i = N): u = v = 0 there, convection vanishes
+            dv_dyy_cb = TV[:, 1:2] + col(_C_VCOL) * s(_DYYT_BB)
+            R_v_cb = (-col(_C_CONVV) - T6[:, 3:4]
+                      + nu * (col(_C_DVDXX) + dv_dyy_cb))
+            # row strip (i = N): total u = v = 0 there, convection vanishes
             a5_bc = Lp8[2:3, :]
             a6_bc = Lp8[3:4, :]
             dpx_bc = eng.right(eng.cache(a5_bc), "IyT")
             dpy_bc = eng.right(eng.cache(a6_bc), "GyT")
-            R_u_bc = -dpx_bc + nu * (Lu8[1:2, :] + row(_R_DUDYY))
-            R_v_bc = -dpy_bc + nu * Lv8[1:2, :]
+            R_u_bc = -dpx_bc + nu * (Lu8[1:2, :] + row(_R_LAPU))
+            R_v_bc = -dpy_bc + nu * (Lv8[1:2, :] + row(_R_LAPV))
             # corner (N, N)
             dpx_bb = _corner_dot(a5_bc, col(_C_IYTCB))
             dpy_bb = _corner_dot(a6_bc, col(_C_GYTCB))
             R_u_bb = -s(_CONV_BB) - dpx_bb + nu * s(_LAPU_BB)
-            R_v_bb = -dpy_bb
+            R_v_bb = -s(_CONVV_BB) - dpy_bb + nu * s(_LAPV_BB)
 
             acc_u = (acc_u + jnp.sum(R_u_cb * R_u_cb)
                      + jnp.sum(R_u_bc * R_u_bc) + R_u_bb * R_u_bb)
@@ -312,38 +418,58 @@ def make_aligned_chunk_runner(ops: SpectralOps, chunk: int, tolerance: float,
             return acc_u, acc_v, acc_p
 
         def metrics_pass():
-            """Full-grid conserved quantities from the core state +
-            exact border strips (omega's borders are dynamic)."""
+            """Full-grid conserved quantities from the core state + exact
+            border strips (SMOOTH omega's borders are dynamic). In singular
+            mode the quadratures run over totals: spectral dots act only on
+            the smooth fields, the singular parts are sampled constants."""
             u_c = eng.cache(su[:])
             v_c = eng.cache(sv[:])
-            # omega core = dv/dx - du/dy (lid completion via CU2's left half)
+            # smooth omega core = dv/dx - du/dy (border completions: CU2's
+            # left half for u's column, CLV's top half for v's row)
             omc = (eng.left("Dx", v_c)
                    - (eng.right(u_c, "DyT") + cu2[:, 0:nc]))
-            om_cb = -(eng.right(u_c, "RCOLS")[:, 0:1]
-                      + col(_C_LID) * s(_DYT_BB))          # (nc, 1)
-            om_bc = (eng.left("LROWS", v_c)[0:1, :]
-                     - lidb * row(_R_DYTBC))               # (1, nc)
+            if sing:
+                omc = omc + refs["CLV"][0:nc, :]
+            om_cb = col(_C_DVDX) - (eng.right(u_c, "RCOLS")[:, 0:1]
+                                    + col(_C_UCOL) * s(_DYT_BB))  # (nc, 1)
+            om_bc = eng.left("LROWS", v_c)[0:1, :] + row(_R_OM)   # (1, nc)
             om_bb = s(_OM_BB)
 
-            energy = 0.5 * jnp.sum(w2d * (su[:] * su[:] + sv[:] * sv[:])) \
+            if sing:
+                u_t = su[:] + refs["SU"][:]
+                v_t = sv[:] + refs["SV"][:]
+                om_t = omc + refs["SW"][:]
+                om_cb_t = om_cb + col(_C_SW)
+                om_bc_t = om_bc + row(_R_SW)
+            else:
+                u_t, v_t = su[:], sv[:]
+                om_t, om_cb_t, om_bc_t = omc, om_cb, om_bc
+            energy = 0.5 * jnp.sum(w2d * (u_t * u_t + v_t * v_t)) \
                 + s(_E_BORD)
             enstrophy = 0.5 * (
-                jnp.sum(w2d * omc * omc)
-                + jnp.sum(col(_C_WCOL) * om_cb * om_cb)
-                + jnp.sum(row(_R_WROW) * om_bc * om_bc)
-                + s(_WBB) * om_bb * om_bb)
+                jnp.sum(w2d * om_t * om_t)
+                + jnp.sum(col(_C_WCOL) * om_cb_t * om_cb_t)
+                + jnp.sum(row(_R_WROW) * om_bc_t * om_bc_t)
+                + s(_WBB) * om_bb * om_bb)  # singular samples vanish at (N,N)
 
             om_c = eng.cache(omc)
             dwx = eng.left("Dx", om_c) + col(_C_DXCB) * om_bc
             dwy = eng.right(om_c, "DyT") + om_cb * row(_R_DYTBC)
+            if sing:
+                dwx = dwx + refs["SDWX"][:]
+                dwy = dwy + refs["SDWY"][:]
             pal = jnp.sum(w2d * (dwx * dwx + dwy * dwy))
-            # border strips of grad(omega)
+            # border strips of grad(omega) (+ sampled singular strips)
             omcb_c = eng.cache(om_cb)
             ombc_c = eng.cache(om_bc)
-            dwx_cb = eng.left("Dx", omcb_c) + col(_C_DXCB) * om_bb
-            dwy_cb = eng.right(om_c, "RCOLS")[:, 0:1] + om_cb * s(_DYT_BB)
-            dwx_bc = eng.left("LROWS", om_c)[0:1, :] + s(_DX_BB) * om_bc
-            dwy_bc = eng.right(ombc_c, "DyT") + om_bb * row(_R_DYTBC)
+            dwx_cb = eng.left("Dx", omcb_c) + col(_C_DXCB) * om_bb \
+                + col(_C_SDWX)
+            dwy_cb = eng.right(om_c, "RCOLS")[:, 0:1] + om_cb * s(_DYT_BB) \
+                + col(_C_SDWY)
+            dwx_bc = eng.left("LROWS", om_c)[0:1, :] + s(_DX_BB) * om_bc \
+                + row(_R_SDWX)
+            dwy_bc = eng.right(ombc_c, "DyT") + om_bb * row(_R_DYTBC) \
+                + row(_R_SDWY)
             # corner: dwx(N,N) = Dx_bc @ om_cb + Dx_bb * om_bb
             dwx_bb = _corner_dot(eng_lrow_dx(), om_cb) + s(_DX_BB) * om_bb
             dwy_bb = _corner_dot(om_bc, col(_C_DYTCB)) \
@@ -363,8 +489,12 @@ def make_aligned_chunk_runner(ops: SpectralOps, chunk: int, tolerance: float,
             return refs["LROWS"][0:1, :]
 
         def adaptive_dt():
-            u_max = jnp.maximum(jnp.max(jnp.abs(su[:])), s(_LID))
-            v_max = jnp.maximum(jnp.max(jnp.abs(sv[:])), 1e-10)
+            # wave speeds belong to the TOTAL velocity; the border totals
+            # never exceed the lid speed, which clamps the max anyway
+            u_eff = su[:] + refs["SU"][:] if sing else su[:]
+            v_eff = sv[:] + refs["SV"][:] if sing else sv[:]
+            u_max = jnp.maximum(jnp.max(jnp.abs(u_eff)), s(_LID))
+            v_max = jnp.maximum(jnp.max(jnp.abs(v_eff)), 1e-10)
             lam_x = (u_max + jnp.sqrt(u_max * u_max + beta_sq)) * s(_IDX) \
                 + nu * s(_IDX) * s(_IDX)
             lam_y = (v_max + jnp.sqrt(v_max * v_max + beta_sq)) * s(_IDY) \
@@ -382,7 +512,8 @@ def make_aligned_chunk_runner(ops: SpectralOps, chunk: int, tolerance: float,
             # full-grid norms = core + constant border mass
             u_prev_norm = jnp.sqrt(jnp.sum(u_out[:] * u_out[:])
                                    + s(_UBORD_SQ))
-            v_prev_norm = jnp.sqrt(jnp.sum(v_out[:] * v_out[:]))
+            v_prev_norm = jnp.sqrt(jnp.sum(v_out[:] * v_out[:])
+                                   + s(_VBORD_SQ))
             bu[:] = u_out[:]
             bv[:] = v_out[:]
             bp[:] = p_out[:]
@@ -458,7 +589,7 @@ def make_aligned_chunk_runner(ops: SpectralOps, chunk: int, tolerance: float,
             jax.ShapeDtypeStruct((1, 1), f32),
         ),
         in_specs=[vmem() for _ in range(n_mats + 3)]
-        + [pl.BlockSpec((1, 16), memory_space=pltpu.SMEM),
+        + [pl.BlockSpec((1, _N_SCAL), memory_space=pltpu.SMEM),
            pl.BlockSpec((1, 1), memory_space=pltpu.SMEM),
            pl.BlockSpec((1, 1), memory_space=pltpu.SMEM)],
         out_specs=(vmem(), vmem(), vmem(), vmem(),
@@ -469,7 +600,8 @@ def make_aligned_chunk_runner(ops: SpectralOps, chunk: int, tolerance: float,
         interpret=interpret,
     )
     mat_list = [mats[k] for k in mat_names]
-    lid_col = jnp.asarray(np.asarray(ops.bc_u, np.float32)[:nf, nf - 1])
+    bord_u = jnp.asarray(np.asarray(ops.bc_u, np.float32))
+    bord_v = jnp.asarray(np.asarray(ops.bc_v, np.float32))
 
     @jax.jit
     def chunk_fn(state: SpectralState, start_iter, ref_norm):
@@ -481,10 +613,10 @@ def make_aligned_chunk_runner(ops: SpectralOps, chunk: int, tolerance: float,
         rscal = jnp.asarray(ref_norm, f32).reshape(1, 1)
         u, v, p, rows, flags, rnorm = call(*mat_list, u, v, p, scal, iscal,
                                            rscal)
-        # reassemble the full grid: borders are the per-run constants
-        u_full = jnp.zeros((nf, nf), f32).at[:nc, :nc].set(u)
-        u_full = u_full.at[:, nf - 1].set(lid_col)
-        v_full = jnp.zeros((nf, nf), f32).at[:nc, :nc].set(v)
+        # reassemble the full grid: borders are the per-run BC constants
+        # (the core overwrite restores the interior AND the core-edge walls)
+        u_full = bord_u.at[:nc, :nc].set(u)
+        v_full = bord_v.at[:nc, :nc].set(v)
         new_state = SpectralState(u=u_full, v=v_full,
                                   p=p[1:ni + 1, 1:ni + 1])
         done = flags[0, 0] > 0

@@ -96,6 +96,45 @@ class TestParity:
         np.testing.assert_allclose(np.asarray(_a[-2]), np.asarray(_r[-2]),
                                    rtol=2e-4)  # rows
 
+    def test_singular_mode_matches_tiled(self):
+        """corner_treatment=singular: nonzero constants on EVERY border plus
+        the sampled singular fields — the full generalized-constant path."""
+        ops = mk_ops(Re=1000.0, corner_treatment="singular")
+        st = core.initial_state(ops)
+        ref = make_tiled_chunk_runner(ops, 3, 1e-30, 10, interpret=True)
+        ali = make_aligned_chunk_runner(ops, 3, 1e-30, 10, interpret=True)
+        rs, rdone, _, _, rrows, _ = ref(st, jnp.int32(0),
+                                        jnp.float32(np.inf))
+        as_, adone, _, _, arows, _ = ali(st, jnp.int32(0),
+                                         jnp.float32(np.inf))
+        np.testing.assert_allclose(np.asarray(as_.u), np.asarray(rs.u),
+                                   rtol=2e-5, atol=2e-6)
+        np.testing.assert_allclose(np.asarray(as_.v), np.asarray(rs.v),
+                                   rtol=2e-5, atol=2e-6)
+        np.testing.assert_allclose(np.asarray(as_.p), np.asarray(rs.p),
+                                   rtol=2e-5, atol=2e-6)
+        # all 7 columns incl. the total-field conserved quantities
+        np.testing.assert_allclose(np.asarray(arows), np.asarray(rrows),
+                                   rtol=5e-4)
+        assert bool(adone) == bool(rdone)
+        # reassembled borders are the (nonzero) smooth-remainder constants
+        np.testing.assert_array_equal(np.asarray(as_.u)[-1, :],
+                                      np.asarray(ops.bc_u)[-1, :])
+        np.testing.assert_array_equal(np.asarray(as_.v)[:, -1],
+                                      np.asarray(ops.bc_v)[:, -1])
+
+    def test_fused_paths_selects_aligned_for_singular(self):
+        from anap3_tpu.models.spectral import make_fused_paths
+
+        p = SpectralParameters(Re=1000.0, nx=128, ny=128, dtype="float32",
+                               corner_treatment="singular")
+        ops, _ = core.build_spectral_ops(p, dtype=jnp.float32)
+        step, factory = make_fused_paths(ops, p, 1e-6)
+        assert factory is not None
+        names = (factory.__code__.co_names
+                 + factory.__code__.co_freevars)
+        assert "make_aligned_chunk_runner" in names
+
     @pytest.mark.slow
     def test_residual_criterion_and_ref_norm(self):
         """The 'residual' criterion threads ref_norm identically."""
