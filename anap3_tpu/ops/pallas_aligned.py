@@ -527,7 +527,7 @@ def make_aligned_chunk_runner(ops: SpectralOps, chunk: int, tolerance: float,
                 energy, enstrophy, palinstrophy = metrics_pass()
             else:
                 energy, enstrophy, palinstrophy = jax.lax.cond(
-                    idx % metrics_every == 0,
+                    idx % jnp.int32(metrics_every) == 0,
                     metrics_pass, lambda: (e_c, z_c, pl_c))
 
             du = jnp.sqrt(jnp.sum((su[:] - bu[:]) ** 2))
@@ -569,8 +569,11 @@ def make_aligned_chunk_runner(ops: SpectralOps, chunk: int, tolerance: float,
                     energy, enstrophy, palinstrophy)
 
         zero = jnp.float32(0.0)
+        # int32 bounds: under jax_enable_x64 plain Python bounds would make
+        # the loop index int64, which Mosaic's tracer cannot mix with the
+        # int32 SMEM scalars (RecursionError in the int promotion)
         done_i, conv_iter, ref_norm, _e, _z, _pl = jax.lax.fori_loop(
-            0, chunk, loop_body,
+            jnp.int32(0), jnp.int32(chunk), loop_body,
             (jnp.int32(0), jnp.int32(-1), rnorm_ref[0, 0],
              zero, zero, zero))
         state_out[0, 0] = done_i

@@ -256,7 +256,7 @@ def make_lane_chunk_runner(ops_list, chunk: int, tolerance: float,
                 e_t, z_t, pl_t = metrics_pass()
             else:
                 e_t, z_t, pl_t = jax.lax.cond(
-                    idx % metrics_every == 0, metrics_pass,
+                    idx % jnp.int32(metrics_every) == 0, metrics_pass,
                     lambda: (e_t, z_t, pl_t))
 
             nan = jnp.float32(jnp.nan)

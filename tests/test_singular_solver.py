@@ -92,9 +92,11 @@ class TestSingularOps:
         S = singular_fields_on_grid(grid["x_nodes"], grid["y_nodes"])
         np.testing.assert_allclose(np.asarray(ops.sing_u), S["u"])
 
-    def test_fused_paths_select_tiled_tier_for_singular(self):
-        """Singular mode routes to the tiled kernels (which carry the
-        singular constant fields); the aligned/untiled tiers are excluded."""
+    def test_fused_paths_singular_tier_dispatch(self):
+        """Singular mode routes aligned sizes (N in {128, 256}) to the
+        bordered-core aligned kernel and every other fused size to the
+        tiled kernels; the untiled whole-step kernel (zero/lid-only
+        borders) is never selected."""
         from anap3_tpu.models.spectral import make_fused_paths
 
         p = SpectralParameters(Re=100.0, nx=128, ny=128, dtype="float32",
@@ -103,8 +105,17 @@ class TestSingularOps:
         step, factory = make_fused_paths(ops, p, 1e-6)
         assert factory is not None
         names = factory.__code__.co_names + factory.__code__.co_freevars
-        assert "make_tiled_chunk_runner" in names
-        assert "make_aligned_chunk_runner" not in names
+        assert "make_aligned_chunk_runner" in names
+        assert "make_pallas_chunk_runner" not in names
+
+        p96 = SpectralParameters(Re=100.0, nx=96, ny=96, dtype="float32",
+                                 corner_treatment="singular")
+        ops96, _ = core.build_spectral_ops(p96, dtype=jnp.float32)
+        step96, factory96 = make_fused_paths(ops96, p96, 1e-6)
+        assert factory96 is not None
+        names96 = factory96.__code__.co_names + factory96.__code__.co_freevars
+        assert "make_tiled_chunk_runner" in names96
+        assert "make_aligned_chunk_runner" not in names96
 
     def test_cold_start_floor(self):
         """Calibrated against the measured rest-start brackets:
@@ -150,7 +161,8 @@ class TestChunkCap:
         from anap3_tpu.models.spectral import (effective_chunk,
                                                make_fused_paths)
 
-        p = SpectralParameters(Re=1000.0, nx=256, ny=256, dtype="float32",
+        # N=224 singular routes to the TILED tier (not 128-aligned): capped
+        p = SpectralParameters(Re=1000.0, nx=224, ny=224, dtype="float32",
                                corner_treatment="singular")
         ops, _ = core.build_spectral_ops(p, dtype=jnp.float32)
         _, factory = make_fused_paths(ops, p, 1e-6)
@@ -158,8 +170,10 @@ class TestChunkCap:
         assert effective_chunk(factory, 5000) == 2000
         assert effective_chunk(factory, 1000) == 1000
         assert effective_chunk(None, 5000) == 5000
-        # N <= 192 singular: uncapped
-        p2 = SpectralParameters(Re=1000.0, nx=128, ny=128, dtype="float32",
+        # aligned sizes (N in {128, 256}) ride the bordered-core kernel,
+        # whose only chunk-scaled buffer is the (chunk, 128) rows strip:
+        # uncapped (chunk 5000 at N=256 measured in the sharp-lid ladder)
+        p2 = SpectralParameters(Re=1000.0, nx=256, ny=256, dtype="float32",
                                 corner_treatment="singular")
         ops2, _ = core.build_spectral_ops(p2, dtype=jnp.float32)
         _, f2 = make_fused_paths(ops2, p2, 1e-6)
