@@ -144,6 +144,16 @@ class SpectralParameters(Parameters):
     coarse_tolerance_factor: float = 10.0
     prolongation_method: str = "fft"
     restriction_method: str = "fft"
+    # Steady Newton-Krylov / PTC solver knobs (models/steady.py,
+    # solver=spectral/newton). ``tolerance`` becomes the RMS steady-residual
+    # target there; these bound the outer PTC loop and the Krylov spaces.
+    newton_max_steps: int = 50
+    gmres_vectors: int = 60
+    newton_dt0: float = 0.05
+    newton_dt_max: float = 3e3
+    newton_schur_iters: int = 40
+    newton_prelude: int = 0       # marched RK4 warm-up steps before PTC
+    initial_state_path: str = ""  # npz {u, v, p} warm start (Re-continuation)
 
 
 @dataclass
