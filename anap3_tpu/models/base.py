@@ -122,6 +122,10 @@ class CavitySolver:
                 "psi_TL", "omega_TL", "psi_TL_x", "psi_TL_y",
             )},
         )
+        polish = getattr(self, "_polish_info", None)
+        if polish:
+            self.metrics.polish_steps = int(polish["steps"])
+            self.metrics.steady_residual_rms = float(polish["rms"])
 
     # ------------------------------------------------------------------
     # Analysis

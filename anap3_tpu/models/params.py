@@ -154,6 +154,12 @@ class SpectralParameters(Parameters):
     newton_schur_iters: int = 40
     newton_prelude: int = 0       # marched RK4 warm-up steps before PTC
     initial_state_path: str = ""  # npz {u, v, p} warm start (Re-continuation)
+    # Float64 Newton polish of the marched solution (SG/FSG/VMG): after the
+    # TPU float32 march stops, a few PTC steps land on the EXACT discrete
+    # steady state (removes every float32 criterion-floor concern).
+    newton_polish: bool = False
+    newton_polish_tol: float = 1e-9   # RMS steady-residual target
+    newton_polish_steps: int = 12     # PTC step budget for the polish
 
 
 @dataclass
@@ -193,6 +199,11 @@ class Metrics:
     omega_TL: float = 0.0
     psi_TL_x: float = 0.0
     psi_TL_y: float = 0.0
+
+    # newton_polish=true extras (0 when polish is off): PTC steps taken and
+    # the float64 RMS steady residual of the FINAL state.
+    polish_steps: int = 0
+    steady_residual_rms: float = 0.0
 
     def to_mlflow(self) -> dict:
         return {

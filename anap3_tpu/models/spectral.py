@@ -251,7 +251,51 @@ class SGSolver(CavitySolver):
                 "iterations (float32 criterion floor); stopping with the "
                 "best attainable state.", tol, result.iterations)
         self.state = result.state
+        result = self._maybe_newton_polish(result)
         self._store_results(result)
+
+    def _maybe_newton_polish(self, result: IterationResult) -> IterationResult:
+        """Optional float64 Newton polish of the marched state.
+
+        ``newton_polish=true``: after the (typically float32 TPU) march
+        stops, a few PTC Newton steps (models/steady.py) drive the state to
+        the EXACT discrete steady state (RMS steady residual <=
+        newton_polish_tol) — eliminating every float32 criterion-floor /
+        false-convergence concern at the cost of seconds. The polish rows
+        are appended to the history (visible in convergence plots) and the
+        Metrics carry polish_steps / steady_residual_rms.
+        """
+        flag = self.params.newton_polish
+        on = flag if isinstance(flag, bool) else \
+            str(flag).lower() in ("true", "1", "yes")
+        if not on or result.diverged:
+            return result
+        import dataclasses
+        from .steady import polish_state
+
+        t0 = time.time()
+        hist = {k: [] for k in ("rel_iter", "u_eq", "v_eq", "continuity",
+                                "energy", "enstrophy", "palinstrophy")}
+        state64, conv, div, steps, rms = polish_state(
+            self.params, self.state,
+            tol_rms=float(self.params.newton_polish_tol),
+            max_steps=int(self.params.newton_polish_steps),
+            gmres_vectors=int(self.params.gmres_vectors), history=hist)
+        log.info("Newton polish: %d PTC steps, ||F||_rms=%.2e, "
+                 "converged=%s (%.1fs)", steps, rms, conv, time.time() - t0)
+        self.state = state64
+        self._polish_info = {"steps": steps, "rms": rms}
+        for key, rows in hist.items():
+            if rows and key in result.history and \
+                    result.history[key] is not None:
+                result.history[key].extend(rows)
+        return dataclasses.replace(
+            result, state=state64,
+            converged=bool(result.converged or conv),
+            diverged=bool(div),
+            # a float32 criterion stall is moot once the polish converged
+            stalled=bool(getattr(result, "stalled", False) and not conv),
+            wall_time=result.wall_time + (time.time() - t0))
 
     def _stall_chunks(self) -> int:
         """Plateau detection: explicit values honored; auto (-1) = off for
@@ -326,6 +370,7 @@ class SGSolver(CavitySolver):
         self.state = core.SpectralState(
             u=jnp.asarray(np.asarray(u)), v=jnp.asarray(np.asarray(v)),
             p=jnp.asarray(np.asarray(spatial.unpad_pressure(p_pad))))
+        result = self._maybe_newton_polish(result)
         self._store_results(result)
 
     def _pallas_enabled(self) -> bool:
@@ -591,6 +636,8 @@ class FSGSolver(SGSolver):
             diverged=bool(diverged), wall_time=wall, history=history,
             first_chunk_time=compile_time,
         )
+        result = self._maybe_newton_polish(result)
+        self.state = result.state
         self._store_results(result)
         log.info("FSG completed in %.2fs: %d iterations, converged=%s",
                  wall, total_iters, converged)

@@ -400,6 +400,7 @@ class VMGSolver(SGSolver):
                 self.params, auto_large="rel_iter"),
         )
         self.state = result.state
+        result = self._maybe_newton_polish(result)
         self._store_results(result)
 
 
@@ -501,6 +502,8 @@ class FMGSolver(SGSolver):
                                  converged=bool(converged and not diverged),
                                  diverged=bool(diverged),
                                  wall_time=wall, history=history)
+        result = self._maybe_newton_polish(result)
+        self.state = result.state
         self._store_results(result)
 
     def _prolongate_fmg(self, coarse_level, fine_level, state, dtype):

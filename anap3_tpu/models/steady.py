@@ -51,7 +51,7 @@ from . import spectral_sg as core
 
 log = logging.getLogger(__name__)
 
-__all__ = ["NewtonSolver", "ptc_solve"]
+__all__ = ["NewtonSolver", "ptc_solve", "polish_state"]
 
 _HIGHEST = jax.lax.Precision.HIGHEST
 
@@ -295,6 +295,42 @@ def ptc_solve(problem: _SteadyProblem, precond: _StokesPreconditioner,
     if nF * rms <= tol_rms:
         converged = True
     return x, converged, diverged, steps
+
+
+def polish_state(params, state: core.SpectralState, *, tol_rms: float,
+                 max_steps: int, gmres_vectors: int, history: dict | None
+                 = None):
+    """Float64 Newton polish of a (possibly float32) marched state.
+
+    The marched TPU solvers stop at their float32 criterion floors; a few
+    PTC steps from their final state land on the EXACT discrete steady
+    state. Returns ``(state64, converged, diverged, steps)``. The start is
+    already near-steady, so dt0 = 1.0 (SER ramps from there).
+    """
+    jax.config.update("jax_enable_x64", True)
+    ops, grid = core.build_spectral_ops(params, dtype=jnp.float64)
+    problem = _SteadyProblem(ops)
+    precond = _StokesPreconditioner(
+        problem, grid, schur_iters=int(params.newton_schur_iters))
+    st = core.SpectralState(
+        u=jnp.asarray(np.asarray(state.u), jnp.float64),
+        v=jnp.asarray(np.asarray(state.v), jnp.float64),
+        p=jnp.asarray(np.asarray(state.p), jnp.float64))
+    x0 = np.asarray(problem.state_to_x(st), np.float64)
+
+    def conserved(x):
+        s = problem.x_to_state(x)
+        e, z, pal = core.conserved_quantities(ops, s.u, s.v)
+        return float(e), float(z), float(pal)
+
+    x, converged, diverged, steps = ptc_solve(
+        problem, precond, x0, tol_rms=tol_rms, max_steps=max_steps,
+        gmres_vectors=gmres_vectors, dt0=1.0,
+        dt_max=float(params.newton_dt_max), history=history,
+        conserved=conserved if history is not None else None)
+    final_rms = float(np.linalg.norm(np.asarray(problem.F(jnp.asarray(x))))
+                      / np.sqrt(problem.n_tot))
+    return problem.x_to_state(x), converged, diverged, steps, final_rms
 
 
 class NewtonSolver(SGSolver):

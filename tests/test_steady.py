@@ -149,3 +149,38 @@ class TestNewtonSolver:
                          newton_prelude=25)
         s.solve()
         assert s.metrics.converged
+
+
+class TestNewtonPolish:
+    def test_sg_polish_reaches_exact_steady_state(self):
+        from anap3_tpu.models.spectral import SGSolver
+
+        s = SGSolver(Re=100.0, nx=16, ny=16, dtype="float64",
+                     tolerance=1e-3, newton_polish=True, chunk_size=200)
+        s.solve()
+        assert s.metrics.converged
+        assert s.metrics.polish_steps > 0
+        assert s.metrics.steady_residual_rms < 1e-9
+        # the polished state really is steady
+        R_u, R_v, R_p = core.residuals(s.ops, s.state.u, s.state.v, s.state.p)
+        assert float(jnp.max(jnp.abs(R_u[1:-1, 1:-1]))) < 1e-7
+        # polish rows extend the recorded history (visible in plots)
+        assert s.time_series.rel_iter_residual[-1] < 1e-6
+
+    def test_fsg_polish(self):
+        from anap3_tpu.models.spectral import FSGSolver
+
+        s = FSGSolver(Re=100.0, nx=16, ny=16, n_levels=2, dtype="float64",
+                      tolerance=1e-3, newton_polish=True, chunk_size=200)
+        s.solve()
+        assert s.metrics.polish_steps > 0
+        assert s.metrics.steady_residual_rms < 1e-9
+
+    def test_polish_off_by_default(self):
+        from anap3_tpu.models.spectral import SGSolver
+
+        s = SGSolver(Re=100.0, nx=12, ny=12, dtype="float64",
+                     tolerance=1e-3, chunk_size=200)
+        s.solve()
+        assert s.metrics.polish_steps == 0
+        assert s.metrics.steady_residual_rms == 0.0
