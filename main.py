@@ -283,6 +283,9 @@ def generate_plots(cfg: dict, run_id: str, output_dir=None):
 
     from anap3_tpu.plotting import generate_plots_for_run
 
+    if not cfg.get("plots", True):
+        log.info("Plot generation disabled (plots=false)")
+        return
     t0 = _time.time()
     try:
         with _PLOT_LOCK:
