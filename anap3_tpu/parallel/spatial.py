@@ -223,13 +223,13 @@ def make_sharded_step(mesh: Mesh, x_axis: str = "x",
     if batch_axis:
         fn = jax.vmap(local_step, in_axes=(None, 0, 0, 0))
 
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     sharded = shard_map(
         fn, mesh=mesh,
         in_specs=(ops_spec, *state_spec),
         out_specs=state_spec,
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(sharded)
 
@@ -249,7 +249,7 @@ def make_sharded_chunk_runner(mesh: Mesh, ops_sharded: ShardedSpectralOps,
     relative-iterate (or normalized-residual) criterion, warmup gate,
     done-freezing, NaN divergence detection, per-step metric rows.
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     use_residual = convergence_metric == "residual"
     chunk = int(chunk)
@@ -316,7 +316,7 @@ def make_sharded_chunk_runner(mesh: Mesh, ops_sharded: ShardedSpectralOps,
         in_specs=(make_step_ops_spec(x_axis), row_spec, row_spec, row_spec,
                   rep, rep),
         out_specs=(row_spec, row_spec, row_spec, rep, rep, rep, rep, rep),
-        check_rep=False,
+        check_vma=False,
     )
     jit_sharded = jax.jit(sharded)
 
