@@ -151,6 +151,37 @@ class TestNewtonSolver:
         assert s.metrics.converged
 
 
+class TestSteadyFixtures:
+    """data/steady/*.npz are EXACT discrete steady states (RMS <= 1e-9)."""
+
+    def test_re1000_fixture_residual(self, repo_root):
+        d = np.load(repo_root / "data/steady/sharp_Re1000_N128.npz")
+        from anap3_tpu.models.params import SpectralParameters
+
+        p = SpectralParameters(Re=1000.0, nx=128, ny=128, dtype="float64",
+                               corner_treatment="singular")
+        ops, _ = core.build_spectral_ops(p, dtype=jnp.float64)
+        u, v = core.enforce_bc(ops, jnp.asarray(d["u"]), jnp.asarray(d["v"]))
+        R_u, R_v, R_p = core.residuals(ops, u, v, jnp.asarray(d["p"]))
+        n2 = float(jnp.sum(R_u[1:-1, 1:-1] ** 2) +
+                   jnp.sum(R_v[1:-1, 1:-1] ** 2) + jnp.sum(R_p ** 2))
+        assert np.sqrt(n2 / (3 * 127 * 127)) < 1e-8
+
+    @pytest.mark.slow
+    def test_re1000_fixture_matches_botella(self, repo_root):
+        s = NewtonSolver(
+            Re=1000.0, nx=128, ny=128, corner_treatment="singular",
+            tolerance=1e-8,
+            initial_state_path=str(repo_root /
+                                   "data/steady/sharp_Re1000_N128.npz"))
+        s.solve()
+        assert s.metrics.converged
+        assert s.metrics.iterations <= 1  # already steady
+        # Botella & Peyret N=160: psi_min = -0.1189366, omega = 2.067753
+        assert abs(s.metrics.psi_min + 0.1189366) < 2e-4
+        assert abs(abs(s.metrics.omega_center) - 2.067753) < 2e-3
+
+
 class TestNewtonPolish:
     def test_sg_polish_reaches_exact_steady_state(self):
         from anap3_tpu.models.spectral import SGSolver
