@@ -348,12 +348,18 @@ class NewtonSolver(SGSolver):
     marched RK4 steps or ``initial_state_path`` (npz with u, v, p -- e.g. a
     previous run's state for Re-continuation).
 
-    Measured (1-core host CPU, f64, sharp lid singular mode, N=128):
-    Re=1000 converged to ||F||_rms ~ 1e-12 in 11 steps / 115 s -- the march
-    needs ~0.9M RK4 steps for a weaker criterion; Re-continuation ladder
-    1000 -> 3200 -> 5000 -> 7500 -> 10000 in 20-30 steps per stage. Ghia
-    centerline errors at the exact N=128 steady states: u 0.006-0.03
-    everywhere; v <= 0.049 through Re=3200.
+    Measured (f64, sharp lid singular mode): Re=1000 N=128 COLD converges
+    in 18 steps / 330 s on the 1-core CPU host (warm-started: 11 steps /
+    115 s) -- the march needs ~0.9M RK4 steps for a weaker criterion. The
+    exact state reproduces Botella & Peyret's N=160 benchmark to 0.003%
+    (psi_min -0.118909 vs -0.1189366, omega 2.067697 vs 2.067753).
+    Re-continuation ladder 1000 -> 3200 -> 5000 -> 7500 -> 10000 in 15-30
+    steps per stage; on TPU (emulated f64, latency-bound) N=256 stages run
+    ~10x faster per step than the 1-core CPU. Ghia centerline errors at the
+    exact steady states are IDENTICAL at N=128 and N=256 (u 0.018-0.033, v
+    0.049/0.109/0.139 at Re=3200/5000/7500), so the remaining v gap at the
+    1-3 near-wall jet points is Ghia's own 257^2-grid error, not ours.
+    Fixtures: data/steady/sharp_Re*_N128.npz.
     """
 
     Parameters = SpectralParameters
