@@ -289,6 +289,14 @@ class SGSolver(CavitySolver):
             if rows and key in result.history and \
                     result.history[key] is not None:
                 result.history[key].extend(rows)
+        history_iters = getattr(result, "history_iters", None)
+        if history_iters is not None and steps > 0:
+            # keep the row <-> global-iteration alignment (runner.py
+            # IterationResult contract): polish rows follow the march
+            result = dataclasses.replace(
+                result, history_iters=np.concatenate([
+                    np.asarray(history_iters),
+                    result.iterations + 1 + np.arange(steps)]))
         return dataclasses.replace(
             result, state=state64,
             converged=bool(result.converged or conv),
@@ -636,8 +644,7 @@ class FSGSolver(SGSolver):
             diverged=bool(diverged), wall_time=wall, history=history,
             first_chunk_time=compile_time,
         )
-        result = self._maybe_newton_polish(result)
-        self.state = result.state
+        result = self._maybe_newton_polish(result)  # sets self.state if on
         self._store_results(result)
         log.info("FSG completed in %.2fs: %d iterations, converged=%s",
                  wall, total_iters, converged)

@@ -502,8 +502,7 @@ class FMGSolver(SGSolver):
                                  converged=bool(converged and not diverged),
                                  diverged=bool(diverged),
                                  wall_time=wall, history=history)
-        result = self._maybe_newton_polish(result)
-        self.state = result.state
+        result = self._maybe_newton_polish(result)  # sets self.state if on
         self._store_results(result)
 
     def _prolongate_fmg(self, coarse_level, fine_level, state, dtype):

@@ -257,7 +257,6 @@ def ptc_solve(problem: _SteadyProblem, precond: _StokesPreconditioner,
             lambda y: matvec_fused(x_dev, y, inv_dt, inv_hlam),
             lambda y: precond.apply(y, inv_dt, inv_hlam),
             Fk, gmres_vectors, tol=1e-4)
-        steps += 1
         step_len = 1.0
         for _ in range(8):
             x_try = x + step_len * delta
@@ -272,6 +271,9 @@ def ptc_solve(problem: _SteadyProblem, precond: _StokesPreconditioner,
             if dt < 1e-8:
                 break
             continue
+        # only ACCEPTED steps count (and emit a history row), so
+        # len(history) == steps always holds
+        steps += 1
         dx_rel = float(np.linalg.norm(step_len * delta) /
                        max(np.linalg.norm(x), 1e-300))
         x, Fk, nF = x_try, F_try, nF_try
@@ -290,8 +292,6 @@ def ptc_solve(problem: _SteadyProblem, precond: _StokesPreconditioner,
                  "step %g", k, nF * rms, dt, rel, used, step_len)
         # switched-evolution relaxation: geometric ramp on full steps
         dt = min(dt * 3.0, dt_max) if step_len == 1.0 else dt * 0.5
-    else:
-        converged = nF * rms <= tol_rms
     if nF * rms <= tol_rms:
         converged = True
     return x, converged, diverged, steps
@@ -304,8 +304,14 @@ def polish_state(params, state: core.SpectralState, *, tol_rms: float,
 
     The marched TPU solvers stop at their float32 criterion floors; a few
     PTC steps from their final state land on the EXACT discrete steady
-    state. Returns ``(state64, converged, diverged, steps)``. The start is
-    already near-steady, so dt0 = 1.0 (SER ramps from there).
+    state. Returns ``(state64, converged, diverged, steps, final_rms)``.
+    The start is already near-steady, so dt0 = 1.0 (SER ramps from there).
+
+    Enables ``jax_enable_x64`` process-wide and leaves it on (same policy
+    as the float64 FV path, models/fv.py): restoring it would downcast the
+    returned f64 state in later traced analysis ops, and every float32
+    solver path is TESTED under x64=on (tests/conftest.py enables it
+    globally), so late enabling is safe for mixed sweeps.
     """
     jax.config.update("jax_enable_x64", True)
     ops, grid = core.build_spectral_ops(params, dtype=jnp.float64)
@@ -416,16 +422,15 @@ class NewtonSolver(SGSolver):
 
         self.state = problem.x_to_state(x)
         if not history["rel_iter"]:  # converged before the first step
-            for key in history:
-                history[key].append(0.0 if key == "rel_iter" else 0.0)
             r_u, r_v, r_p = problem.unflatten(problem.F(jnp.asarray(x)))
-            history["u_eq"][-1] = float(jnp.linalg.norm(r_u))
-            history["v_eq"][-1] = float(jnp.linalg.norm(r_v))
-            history["continuity"][-1] = float(jnp.linalg.norm(r_p))
             e, z, pal = conserved(x)
-            history["energy"][-1] = e
-            history["enstrophy"][-1] = z
-            history["palinstrophy"][-1] = pal
+            history["rel_iter"].append(0.0)
+            history["u_eq"].append(float(jnp.linalg.norm(r_u)))
+            history["v_eq"].append(float(jnp.linalg.norm(r_v)))
+            history["continuity"].append(float(jnp.linalg.norm(r_p)))
+            history["energy"].append(e)
+            history["enstrophy"].append(z)
+            history["palinstrophy"].append(pal)
         result = IterationResult(
             state=self.state, iterations=steps, converged=bool(converged),
             diverged=bool(diverged), wall_time=time.time() - t0,
@@ -442,10 +447,13 @@ class NewtonSolver(SGSolver):
             return self.state
         d = np.load(Path(path))
         nf = int(self.ops.bc_u.shape[0])
-        if d["u"].shape != (nf, nf):
-            raise ValueError(
-                f"initial_state_path grid {d['u'].shape} does not match "
-                f"N={nf - 1}; prolongate/restrict it first")
+        shapes = {"u": (nf, nf), "v": (nf, nf), "p": (nf - 2, nf - 2)}
+        for key, want in shapes.items():
+            if d[key].shape != want:
+                raise ValueError(
+                    f"initial_state_path field '{key}' has shape "
+                    f"{d[key].shape}, does not match {want} for N={nf - 1}; "
+                    f"prolongate/restrict it first ({path})")
         log.info("Newton warm start from %s", path)
         return core.SpectralState(
             u=jnp.asarray(d["u"], jnp.float64),

@@ -281,11 +281,12 @@ _PLOT_LOCK = __import__("threading").Lock()
 def generate_plots(cfg: dict, run_id: str, output_dir=None):
     import time as _time
 
-    from anap3_tpu.plotting import generate_plots_for_run
-
-    if not cfg.get("plots", True):
+    if not cfg.get("plots", True):  # before the matplotlib import cost
         log.info("Plot generation disabled (plots=false)")
         return
+
+    from anap3_tpu.plotting import generate_plots_for_run
+
     t0 = _time.time()
     try:
         with _PLOT_LOCK:
