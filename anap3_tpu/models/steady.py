@@ -195,6 +195,10 @@ def _gmres(matvec, precond, rhs, k, tol):
     rel = 1.0
     for j in range(k):
         w = np.array(matvec(jnp.asarray(Q[:, j])))  # writable host copy
+        if not np.all(np.isfinite(w)):
+            # a diverged inner solve must not poison H (lstsq would raise)
+            used = max(j, 1)
+            break
         for i in range(j + 1):
             H[i, j] = w @ Q[:, i]
             w -= H[i, j] * Q[:, i]
@@ -229,9 +233,20 @@ def ptc_solve(problem: _SteadyProblem, precond: _StokesPreconditioner,
     (rel_iter / u_eq / v_eq / continuity / energy / enstrophy /
     palinstrophy -- the runner's history contract). ``conserved(x)`` maps an
     unknown vector to the three conserved quantities.
+
+    The line search is NONMONOTONE (Grippo-style: accept when ||F|| beats
+    the worst of the last 5 accepted values): a pseudo-time trajectory is
+    not a descent path for ||F||, and near unstable steady states (e.g. the
+    cavity past its Hopf point) it must climb transiently -- a monotone
+    search deadlocks there (measured: Re=10000 N=256 stalls with every dt
+    down to 1e-12 rejected). If even that fails, the dt-floor escape takes
+    one damped physical marching step and re-ramps.
     """
+    from collections import deque
+
     x = np.asarray(x0, np.float64)
     rms = 1.0 / np.sqrt(problem.n_tot)
+    nF_window = deque(maxlen=5)  # nonmonotone reference values
 
     @jax.jit
     def matvec_fused(x_dev, y, inv_dt, inv_hlam):
@@ -240,7 +255,9 @@ def ptc_solve(problem: _SteadyProblem, precond: _StokesPreconditioner,
 
     Fk = np.asarray(problem.F(jnp.asarray(x)))
     nF = float(np.linalg.norm(Fk))
+    nF_window.append(nF)
     dt = float(dt0)
+    dt_floor = 1e-4 * float(dt0)
     converged = diverged = False
     steps = 0
     for k in range(max_steps):
@@ -257,26 +274,34 @@ def ptc_solve(problem: _SteadyProblem, precond: _StokesPreconditioner,
             lambda y: matvec_fused(x_dev, y, inv_dt, inv_hlam),
             lambda y: precond.apply(y, inv_dt, inv_hlam),
             Fk, gmres_vectors, tol=1e-4)
+        nF_ref = max(nF_window)
         step_len = 1.0
         for _ in range(8):
             x_try = x + step_len * delta
             F_try = np.asarray(problem.F(jnp.asarray(x_try)))
             nF_try = float(np.linalg.norm(F_try))
-            if np.isfinite(nF_try) and nF_try < nF:
+            if np.isfinite(nF_try) and nF_try < nF_ref:
                 break
             step_len *= 0.5
         else:
-            dt *= 0.2
-            log.info("PTC step %d: line search failed; dt -> %.2e", k, dt)
-            if dt < 1e-8:
-                break
-            continue
+            if dt <= dt_floor and np.isfinite(nF_try):
+                # dt-floor escape: one damped physical marching step
+                # (backward Euler at tiny dt IS the flow), then re-ramp
+                log.info("PTC step %d: nonmonotone escape at dt floor "
+                         "(||F|| %.3e -> %.3e)", k, nF, nF_try)
+                dt = float(dt0)
+            else:
+                dt = max(dt * 0.2, dt_floor)
+                log.info("PTC step %d: line search failed; dt -> %.2e",
+                         k, dt)
+                continue
         # only ACCEPTED steps count (and emit a history row), so
         # len(history) == steps always holds
         steps += 1
         dx_rel = float(np.linalg.norm(step_len * delta) /
                        max(np.linalg.norm(x), 1e-300))
         x, Fk, nF = x_try, F_try, nF_try
+        nF_window.append(nF)
         if history is not None:
             r_u, r_v, r_p = problem.unflatten(jnp.asarray(Fk))
             history["rel_iter"].append(dx_rel)
