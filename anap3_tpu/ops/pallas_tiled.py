@@ -52,8 +52,13 @@ _RK4_ALPHAS = (0.25, 1.0 / 3.0, 0.5, 1.0)
 N_METRICS = 6
 N_COLS = 7  # rel_iter + 6 metrics, runner METRIC_KEYS order
 
-# Largest order whose working set fits VMEM with the x3 layout.
+# Largest order whose working set fits VMEM with the x3 layout under the
+# default ~16 MB scoped budget. Above it (up to MAX_TILED_N_RAISED) kernels
+# request a raised per-kernel vmem_limit_bytes — the v5e has 128 MB of
+# physical VMEM and the x3 working set at N=448 is ~24 MB + stack; row
+# blocking (blk=32) bounds the row-phase temporaries.
 MAX_TILED_N = 320
+MAX_TILED_N_RAISED = 448
 
 # corner_treatment="singular" support: the sampled singular fields ride as
 # nine extra per-run-constant VMEM arrays; the stage residuals convect with
@@ -150,7 +155,11 @@ def _auto_blk(ops: SpectralOps, blk: int | None) -> int | None:
     """Row-block height heuristic: singular mode adds nine constant fields
     (~3 MB at N=256), which pushes the whole-height row phase over the
     ~16 MB VMEM budget above N=192 (measured: 18.5 MB at N=256) — block
-    the row phase to bound its temporaries."""
+    the row phase to bound its temporaries. The raised tier above N=320
+    (nfp > 352) always blocks: its whole-height row phase stacks
+    multi-MB temporaries even without the singular fields."""
+    if blk is None and ops.bc_u.shape[0] > 352:  # nfp > 352: raised tier
+        return 32
     if blk is None and ops.sing_u is not None and ops.bc_u.shape[0] > 193:
         return 64
     return blk
@@ -357,10 +366,24 @@ def _adaptive_dt(su, sv, scal, sing_u=None, sing_v=None):
 
 
 def _check_order(nf: int):
-    if nf - 1 > MAX_TILED_N:
+    if nf - 1 > MAX_TILED_N_RAISED:
         raise ValueError(
-            f"tiled step kernel supports N <= {MAX_TILED_N} (got N={nf - 1});"
-            " use the XLA step")
+            f"tiled step kernel supports N <= {MAX_TILED_N_RAISED} "
+            f"(got N={nf - 1}); use the XLA step")
+
+
+def _vmem_params(nfp: int, force: bool = False):
+    """Raised per-kernel VMEM ceiling for the large tiers.
+
+    Mosaic's default SCOPED-vmem budget is ~16 MB — far under the v5e's
+    128 MB physical VMEM. The x6+tau variant at N=320 (nfp=352) needs a
+    ~46 MB stack for its unrolled stage temporaries (measured from the
+    compile-time OOM), and the x3 chunk kernels above N=320 grow past the
+    default budget too; operands + stack stay well inside physical VMEM.
+    """
+    if force or nfp > 352:
+        return pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20)
+    return None
 
 
 def _embed(state: SpectralState, nf, ni, nfp):
@@ -430,6 +453,7 @@ def make_tiled_sg_step(ops: SpectralOps, interpret: bool = False,
         ])
 
     vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    compiler_params = _vmem_params(nfp, force=with_tau and nfp > 288)
     call = pl.pallas_call(
         kernel,
         out_shape=(
@@ -447,6 +471,7 @@ def make_tiled_sg_step(ops: SpectralOps, interpret: bool = False,
         # aliasing them onto the outputs saves three state buffers of VMEM
         # (what pushes the N=320 with_tau variant over the ~16 MB budget)
         input_output_aliases={n_mats: 0, n_mats + 1: 1, n_mats + 2: 2},
+        compiler_params=compiler_params,
         interpret=interpret,
     )
     mat_list = [mats[k] for k in mat_names]
@@ -627,6 +652,7 @@ def make_tiled_chunk_runner(ops: SpectralOps, chunk: int, tolerance: float,
         # the state inputs are only read in the initial u_out[:] = u_in[:]
         # copies; aliasing them onto the outputs saves three VMEM buffers
         input_output_aliases={n_mats: 0, n_mats + 1: 1, n_mats + 2: 2},
+        compiler_params=_vmem_params(nfp),
         interpret=interpret,
     )
     mat_list = [mats[k] for k in mat_names]

@@ -82,7 +82,30 @@ def main():
         print("OK (fast)", flush=True)
         return
 
-    # 3: production FSG solve reaches the recorded smoothed-lid floor
+    # 3: FAS-forced (with_tau) kernel at N=320 — the raised-vmem tier
+    # (pallas_tiled vmem_limit_bytes; VERDICT r2 #7) — 3-step parity vs
+    # the XLA sg_step tau hook
+    from anap3_tpu.ops.pallas_tiled import make_tiled_sg_step
+
+    p = SpectralParameters(Re=1000.0, nx=320, ny=320, dtype="float32")
+    ops, _ = core.build_spectral_ops(p, dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    st = core.SpectralState(
+        u=jnp.asarray(0.01 * rng.standard_normal((321, 321)), jnp.float32),
+        v=jnp.asarray(0.01 * rng.standard_normal((321, 321)), jnp.float32),
+        p=jnp.asarray(0.01 * rng.standard_normal((319, 319)), jnp.float32))
+    tau = tuple(jnp.asarray(1e-3 * rng.standard_normal(sh), jnp.float32)
+                for sh in ((321, 321), (321, 321), (319, 319)))
+    tstep = make_tiled_sg_step(ops, algorithm="x6", with_tau=True, blk=32)
+    xstep = jax.jit(lambda s, t: core.sg_step(ops, s, tau=t))
+    sf = sx = st
+    for _ in range(3):
+        sf, _mf = tstep(sf, tau)
+        sx, _mx = xstep(sx, tau)
+    du = float(jnp.max(jnp.abs(sf.u - sx.u)))
+    check("tau-320 kernel vs XLA (x6)", du < 1e-6, f"max|du|={du:.2e}")
+
+    # 4: production FSG solve reaches the recorded smoothed-lid floor
     from anap3_tpu.models.spectral import FSGSolver
 
     s = FSGSolver(Re=1000.0, nx=96, ny=96, tolerance=1e-6,
