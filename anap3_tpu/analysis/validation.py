@@ -71,12 +71,18 @@ def compute_l2_errors_vs_reference(
         if valid.sum() < 0.5 * ref_u.size:
             log.warning("Only %d/%d valid points for %s", valid.sum(), ref_u.size,
                         ref_root)
-        u_err = np.linalg.norm(cur_u[valid] - ref_u[valid]) / (
-            np.linalg.norm(ref_u[valid]) + 1e-12
-        )
-        v_err = np.linalg.norm(cur_v[valid] - ref_v[valid]) / (
-            np.linalg.norm(ref_v[valid]) + 1e-12
-        )
+        if not valid.any():
+            # Diverged (all-NaN) solution: empty-mask norms would report a
+            # PERFECT 0.0 error. The reference computes without masking and
+            # propagates NaN (base.py:970-1054) — do the same.
+            u_err = v_err = float("nan")
+        else:
+            u_err = np.linalg.norm(cur_u[valid] - ref_u[valid]) / (
+                np.linalg.norm(ref_u[valid]) + 1e-12
+            )
+            v_err = np.linalg.norm(cur_v[valid] - ref_v[valid]) / (
+                np.linalg.norm(ref_v[valid]) + 1e-12
+            )
         results[f"u_L2_error{suffix}"] = float(u_err)
         results[f"v_L2_error{suffix}"] = float(v_err)
         log.info("L2 errors vs %s: u=%.6e v=%.6e", ref_root, u_err, v_err)

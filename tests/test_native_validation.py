@@ -95,3 +95,25 @@ class TestVtsFormats:
         np.testing.assert_allclose(g.point_data["u"],
                                    np.arange(n * n, dtype=float))
         assert g.dimensions == (n, n, 1)
+
+
+class TestDivergedL2:
+    def test_all_nan_solution_reports_nan_not_zero(self, repo_root):
+        """A diverged (all-NaN) field must NOT score a perfect 0.0 L2."""
+        nan_eval = lambda x, y: (np.full_like(x, np.nan),
+                                 np.full_like(x, np.nan))
+        errs = V.compute_l2_errors_vs_reference(
+            nan_eval, Re=1000.0, base_dir=repo_root)
+        assert errs, "reference fixture missing"
+        assert all(np.isnan(v) for v in errs.values()), errs
+
+    def test_partial_nan_still_masked(self, repo_root):
+        """Isolated NaN points stay masked (per-lane isolation semantics)."""
+        def ev(x, y):
+            u = np.zeros_like(x)
+            v = np.zeros_like(x)
+            u[0] = np.nan
+            return u, v
+        errs = V.compute_l2_errors_vs_reference(
+            ev, Re=1000.0, base_dir=repo_root)
+        assert errs and all(np.isfinite(v) for v in errs.values())
