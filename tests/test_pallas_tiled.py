@@ -103,12 +103,12 @@ class TestTiledStep:
             # fake a too-large order by lying about the cap
             import anap3_tpu.ops.pallas_tiled as t
 
-            orig = t.MAX_TILED_N
+            orig = t.MAX_TILED_N_RAISED
             try:
-                t.MAX_TILED_N = 8
+                t.MAX_TILED_N_RAISED = 8
                 make_tiled_sg_step(ops, interpret=True)
             finally:
-                t.MAX_TILED_N = orig
+                t.MAX_TILED_N_RAISED = orig
 
 
 class TestTiledChunkRunner:
