@@ -87,6 +87,41 @@ class TestVCycle:
         assert np.isfinite(np.asarray(state.u)).all()
         assert resid_norm(state) < r0
 
+    def test_nonfinite_coarse_correction_rejected(self):
+        """A NaN coarse correction must be dropped, leaving the cycle equal
+        to plain nu1+nu2 fine smoothing (divergence-tolerant cycles; the
+        [160,80] Re=1000 f32 coarse-transient blowup motivated this)."""
+        import dataclasses
+
+        params = make_params()
+        levels = build_vmg_levels(params)
+        assert len(levels) == 2
+        # poison the COARSE level: nu=NaN makes every coarse smoothing step
+        # (and hence the prolongated correction) non-finite
+        levels[1].ops = dataclasses.replace(
+            levels[1].ops, nu=jnp.asarray(float("nan"), levels[1].ops.nu.dtype))
+        v_cycle = make_v_cycle(levels)
+        state = core.initial_state(levels[0].ops)
+        for _ in range(20):
+            state, _ = core.sg_step(levels[0].ops, state)
+
+        cycled, _ = v_cycle(state)
+        assert np.isfinite(np.asarray(cycled.u)).all()
+        assert np.isfinite(np.asarray(cycled.p)).all()
+
+        ref = state
+        from anap3_tpu.models.spectral_vmg import VMGSolver as _V
+        for _ in range(_V.NU1 + _V.NU2):
+            ref, _ = core.sg_step(levels[0].ops, ref)
+        # atol: lax.scan inside the cycle fuses differently from the eager
+        # reference loop — identical math, last-ulp differences only
+        np.testing.assert_allclose(np.asarray(cycled.u), np.asarray(ref.u),
+                                   atol=1e-13)
+        np.testing.assert_allclose(np.asarray(cycled.v), np.asarray(ref.v),
+                                   atol=1e-13)
+        np.testing.assert_allclose(np.asarray(cycled.p), np.asarray(ref.p),
+                                   atol=1e-13)
+
     def test_vmg_matches_sg_steady_state(self):
         vmg = VMGSolver(params=make_params())
         vmg.solve()
