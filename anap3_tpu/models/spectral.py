@@ -29,7 +29,7 @@ from .runner import IterationResult, run_fixed_point
 from . import spectral_sg as core
 from ..ops import basis as basis_ops
 from ..ops.poisson import spectral_dirichlet_poisson
-from ..ops.transfer import make_transfer_matrices
+
 
 log = logging.getLogger(__name__)
 
@@ -49,9 +49,12 @@ def resolve_convergence_metric(params, n: Optional[int] = None,
 
     Single-grid and FSG spectral solves resolve "auto" to ``auto_large``
     (energy) at N >= AUTO_ENERGY_MIN_N and to the reference's rel_iter
-    below; VMG passes ``auto_large="rel_iter"`` because its per-cycle
-    rel-iter (4 fine steps + a coarse solve per test) is already a sound
-    criterion at every size (criterion cross-check, STATUS.md).
+    below. VMG/FMG pass ``auto_large="rel_iter"`` — per-cycle rel-iter
+    (4 fine steps + a coarse solve per test) matches the energy plateau up
+    to N=192 (criterion cross-check, STATUS.md) — and separately force the
+    energy plateau on finest levels at N >= VMG_AUTO_ENERGY_MIN_N (256),
+    where the shrinking dt ~ 1/N^2 makes per-cycle rel-iter exit
+    prematurely (measured at N=320: L2 0.30 vs the 0.099 floor).
     """
     m = str(getattr(params, "convergence_metric", "rel_iter") or "rel_iter")
     if m != "auto":
@@ -658,12 +661,14 @@ class FSGSolver(SGSolver):
         ops/transfer.nodal_interpolation_matrix).
         """
         from ..ops import basis as B
-        from ..ops.transfer import nodal_interpolation_matrix
+        from ..ops.transfer import (make_level_transfer_matrices,
+                                    nodal_interpolation_matrix)
 
-        P_full, _ = make_transfer_matrices(
-            n_coarse + 1, n_fine + 1,
-            self.params.prolongation_method, self.params.restriction_method)
         bx = B.make_basis(self.params.basis_type, (0.0, self.params.Lx))
+        P_full, _ = make_level_transfer_matrices(
+            bx.nodes(n_coarse + 1), bx.nodes(n_fine + 1),
+            self.params.prolongation_method, self.params.restriction_method,
+            chebyshev=str(self.params.basis_type).lower().startswith("cheb"))
         P_inner = nodal_interpolation_matrix(
             bx.nodes(n_coarse + 1)[1:-1], bx.nodes(n_fine + 1)[1:-1])
         Pf = jnp.asarray(P_full, dtype=dtype)

@@ -53,7 +53,8 @@ from .spectral import SGSolver, resolve_convergence_metric
 from . import spectral_sg as core
 from ..ops.basis import make_basis
 from ..ops.transfer import (fft_restriction_matrix, injection_restriction_matrix,
-                            make_transfer_matrices, nodal_injection_matrix,
+                            make_level_transfer_matrices,
+                            modal_restriction_matrix, nodal_injection_matrix,
                             nodal_interpolation_matrix)
 
 log = logging.getLogger(__name__)
@@ -221,12 +222,24 @@ def build_vmg_levels(params: SpectralParameters, n_fine: int | None = None,
         if idx + 1 < len(orders):
             nc = orders[idx + 1]
             cast = lambda a: jnp.asarray(a, dtype=dtype)
-            # full velocity grids ARE Chebyshev-Lobatto -> DCT operators apply
-            level.inj_full = cast(injection_restriction_matrix(n + 1, nc + 1))
-            level.res_full = cast(fft_restriction_matrix(n + 1, nc + 1))
-            P_full, _ = make_transfer_matrices(
-                nc + 1, n + 1, params.prolongation_method,
-                params.restriction_method)
+            x_f = bx.nodes(n + 1)
+            x_c = bx.nodes(nc + 1)
+            is_cheb = str(params.basis_type).lower().startswith("cheb")
+            if is_cheb:
+                # Chebyshev-Lobatto full grids nest and carry the DCT
+                # identities — use the reference's operators directly
+                level.inj_full = cast(
+                    injection_restriction_matrix(n + 1, nc + 1))
+                level.res_full = cast(fft_restriction_matrix(n + 1, nc + 1))
+            else:
+                # LGL (etc.) grids do NOT nest and the DCT path is invalid:
+                # exact polynomial resampling for the FAS solution
+                # restriction, Legendre-modal truncation for the defect
+                level.inj_full = cast(nodal_interpolation_matrix(x_f, x_c))
+                level.res_full = cast(modal_restriction_matrix(x_f, x_c))
+            P_full, _ = make_level_transfer_matrices(
+                x_c, x_f, params.prolongation_method,
+                params.restriction_method, chebyshev=is_cheb)
             level.pro_full = cast(P_full)
             # inner pressure grids are NOT — build from node positions
             x_fi = bx.nodes(n + 1)[1:-1]
@@ -539,10 +552,11 @@ class FMGSolver(SGSolver):
         self._store_results(result)
 
     def _prolongate_fmg(self, coarse_level, fine_level, state, dtype):
-        P_full, _ = make_transfer_matrices(
-            coarse_level.n + 1, fine_level.n + 1,
-            self.params.prolongation_method, self.params.restriction_method)
         bx = make_basis(self.params.basis_type, (0.0, self.params.Lx))
+        P_full, _ = make_level_transfer_matrices(
+            bx.nodes(coarse_level.n + 1), bx.nodes(fine_level.n + 1),
+            self.params.prolongation_method, self.params.restriction_method,
+            chebyshev=str(self.params.basis_type).lower().startswith("cheb"))
         P_inner = nodal_interpolation_matrix(
             bx.nodes(coarse_level.n + 1)[1:-1], bx.nodes(fine_level.n + 1)[1:-1])
         Pf = jnp.asarray(P_full, dtype=dtype)

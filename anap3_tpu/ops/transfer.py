@@ -35,6 +35,8 @@ __all__ = [
     "make_transfer_matrices",
     "nodal_interpolation_matrix",
     "nodal_injection_matrix",
+    "modal_restriction_matrix",
+    "make_level_transfer_matrices",
 ]
 
 
@@ -139,6 +141,70 @@ def nodal_injection_matrix(x_fine: np.ndarray, x_coarse: np.ndarray) -> np.ndarr
     nearest = np.argmin(np.abs(x_fine[None, :] - x_coarse[:, None]), axis=1)
     R[np.arange(x_coarse.size), nearest] = 1.0
     return R
+
+
+def _to_reference_interval(x: np.ndarray) -> np.ndarray:
+    """Affine map of a Lobatto node set (endpoints included) onto [-1, 1]."""
+    x = np.asarray(x, dtype=np.float64)
+    return 2.0 * (x - x[0]) / (x[-1] - x[0]) - 1.0
+
+
+def modal_restriction_matrix(x_fine: np.ndarray,
+                             x_coarse: np.ndarray) -> np.ndarray:
+    """Restriction by LEGENDRE-modal truncation between arbitrary node sets.
+
+    The non-Chebyshev analog of :func:`fft_restriction_matrix`: fine nodal
+    values -> Legendre coefficients (square Vandermonde solve) -> keep the
+    leading ``len(x_coarse)`` modes -> evaluate at the coarse nodes. Exact
+    on polynomials of degree < len(x_coarse); high modes are dropped rather
+    than aliased, which is what FAS defect restriction requires. Reduces to
+    the same truncation semantics as the DCT path (reference
+    transfer_operators.py:309-325) with the Chebyshev basis swapped for
+    Legendre.
+    """
+    from .basis import jacobi_vandermonde
+
+    xf = _to_reference_interval(x_fine)
+    xc = _to_reference_interval(x_coarse)
+    nf, nc = xf.size, xc.size
+    Vf = jacobi_vandermonde(xf, 0.0, 0.0, nf - 1)      # (nf, nf), square
+    Vc = jacobi_vandermonde(xc, 0.0, 0.0, nc - 1)      # (nc, nc)
+    T = np.zeros((nc, nf))
+    T[:, :nc] = Vc                                     # truncate to nc modes
+    return T @ np.linalg.inv(Vf)
+
+
+def make_level_transfer_matrices(
+    x_coarse: np.ndarray,
+    x_fine: np.ndarray,
+    prolongation_method: str = "fft",
+    restriction_method: str = "fft",
+    chebyshev: bool = True,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Basis-aware (P, R) pair for one full-grid level transition.
+
+    On Chebyshev-Lobatto grids this defers to the DCT-based
+    :func:`make_transfer_matrices` (bit-identical to the previous behavior).
+    On any other node set (e.g. Legendre-Gauss-Lobatto, where the DCT
+    identities do NOT hold and coarse nodes do NOT nest in fine ones) it
+    builds the mathematically equivalent operators from the actual node
+    positions: exact polynomial interpolation for prolongation (also what
+    ``prolongation_method=polynomial`` means), Legendre-modal truncation
+    ("fft") or exact resampling ("injection") for restriction.
+    """
+    if chebyshev:
+        return make_transfer_matrices(len(x_coarse), len(x_fine),
+                                      prolongation_method, restriction_method)
+    P = nodal_interpolation_matrix(x_coarse, x_fine)
+    if restriction_method == "fft":
+        R = modal_restriction_matrix(x_fine, x_coarse)
+    elif restriction_method == "injection":
+        # exact resampling of the (polynomial) fine field at coarse nodes —
+        # LGL grids do not nest, so index injection does not exist
+        R = nodal_interpolation_matrix(x_fine, x_coarse)
+    else:
+        raise ValueError(f"Unknown restriction method: {restriction_method!r}")
+    return P, R
 
 
 def make_transfer_matrices(

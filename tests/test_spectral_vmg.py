@@ -50,6 +50,57 @@ class TestInnerGridTransfers:
         np.testing.assert_allclose(P @ f_c, 4 * x_f**5 - x_f**2, atol=1e-9)
 
 
+class TestLegendreTransfers:
+    """Non-Chebyshev grids get basis-aware transfers (the DCT path is only
+    valid on CGL nodes, and LGL grids do not nest)."""
+
+    def test_modal_restriction_exact_and_truncating(self):
+        from anap3_tpu.ops.basis import jacobi_poly, make_basis
+        from anap3_tpu.ops.transfer import modal_restriction_matrix
+
+        bx = make_basis("legendre", (0.0, 1.0))
+        xf, xc = bx.nodes(25), bx.nodes(13)
+        R = modal_restriction_matrix(xf, xc)
+        rng = np.random.RandomState(7)
+        coeffs = rng.randn(13)  # degree 12 polynomial
+        np.testing.assert_allclose(R @ np.polyval(coeffs, xf),
+                                   np.polyval(coeffs, xc), atol=1e-12)
+        # a pure Legendre mode above the coarse order is DROPPED, not aliased
+        mode15 = jacobi_poly(2 * xf - 1, 0.0, 0.0, 15)
+        assert np.abs(R @ mode15).max() < 1e-12
+
+    def test_legendre_levels_use_nodal_operators(self):
+        from anap3_tpu.ops.basis import make_basis
+
+        params = make_params(basis_type="legendre")
+        levels = build_vmg_levels(params)
+        assert len(levels) == 2
+        bx = make_basis("legendre", (0.0, 1.0))
+        x_f, x_c = bx.nodes(25), bx.nodes(13)
+        # prolongation must reproduce a degree-12 polynomial exactly on the
+        # LGL fine grid (the DCT matrix would not — wrong nodes)
+        f_c = np.polyval(np.arange(5.0), x_c)
+        f_f = np.polyval(np.arange(5.0), x_f)
+        P = np.asarray(levels[0].pro_full)
+        np.testing.assert_allclose(P @ f_c, f_f, atol=1e-10)
+        # solution restriction = exact resample on polynomial data
+        Inj = np.asarray(levels[0].inj_full)
+        np.testing.assert_allclose(Inj @ f_f, f_c, atol=1e-10)
+
+    def test_legendre_vmg_matches_legendre_sg(self):
+        vmg = VMGSolver(params=make_params(basis_type="legendre"))
+        vmg.solve()
+        assert vmg.metrics.converged
+        sg = SGSolver(params=make_params(
+            name="spectral", basis_type="legendre", tolerance=1e-6,
+            max_iterations=60000, chunk_size=500))
+        sg.solve()
+        np.testing.assert_allclose(np.asarray(vmg.state.u),
+                                   np.asarray(sg.state.u), atol=2e-3)
+        assert vmg.metrics.psi_min == pytest.approx(sg.metrics.psi_min,
+                                                    abs=5e-4)
+
+
 class TestVCycle:
     def test_levels_build(self):
         levels = build_vmg_levels(make_params(nx=48, ny=48, n_levels=3))
