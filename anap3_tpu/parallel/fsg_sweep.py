@@ -23,7 +23,8 @@ from ..models import spectral_sg as core
 from ..models.params import SpectralParameters
 from ..models.runner import IterationResult
 from ..ops import basis as B
-from ..ops.transfer import make_transfer_matrices, nodal_interpolation_matrix
+from ..ops.transfer import (make_level_transfer_matrices,
+                            nodal_interpolation_matrix)
 from .sweep import run_batched_sweep, stack_ops
 
 log = logging.getLogger(__name__)
@@ -78,8 +79,10 @@ def run_batched_fsg(param_list: Sequence[SpectralParameters],
             states = jax.tree.map(lambda *a: jnp.stack(a), *init)
         else:
             n_c = orders[level_idx - 1]
-            P_full, _ = make_transfer_matrices(
-                n_c + 1, n + 1, p0.prolongation_method, p0.restriction_method)
+            P_full, _ = make_level_transfer_matrices(
+                bx.nodes(n_c + 1), bx.nodes(n + 1),
+                p0.prolongation_method, p0.restriction_method,
+                chebyshev=str(p0.basis_type).lower().startswith("cheb"))
             P_inner = nodal_interpolation_matrix(
                 bx.nodes(n_c + 1)[1:-1], bx.nodes(n + 1)[1:-1])
             Pf = jnp.asarray(P_full, dtype)
@@ -96,10 +99,20 @@ def run_batched_fsg(param_list: Sequence[SpectralParameters],
             u, v = jax.vmap(core.enforce_bc)(batched_ops, u, v)
             states = core.SpectralState(u=u, v=v, p=p)
 
+        # finest level: honor the lane config's criterion ("auto" resolves
+        # to the energy plateau at N >= 128); coarser levels only provide
+        # warm starts, where per-step rel_iter is adequate (FSG cascade
+        # semantics, cf. models/spectral.FSGSolver)
+        if level_idx == len(orders) - 1:
+            from ..models.spectral import resolve_convergence_metric
+
+            metric = resolve_convergence_metric(p0, n=n)
+        else:
+            metric = "rel_iter"
         res = run_batched_sweep(
             core.sg_step, lambda s: (s.u, s.v), batched_ops, states,
             tolerance=level_tol, max_iterations=max_iter, chunk=chunk,
-            mesh=mesh)
+            mesh=mesh, convergence_metric=metric)
         states = res.states
         iters += np.asarray(res.iterations)
         converged = np.asarray(res.converged)

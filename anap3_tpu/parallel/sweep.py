@@ -22,7 +22,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..models.runner import METRIC_KEYS, WARMUP_ITERS, _rel_change
+from ..models.runner import (ENERGY_PLATEAU_CHUNKS, METRIC_KEYS, WARMUP_ITERS,
+                             _rel_change)
 
 __all__ = ["SweepResult", "stack_ops", "make_batched_chunk_runner",
            "run_batched_sweep"]
@@ -109,7 +110,8 @@ def run_batched_sweep(step_fn, get_uv, ops, states, tolerance: float,
                       mesh: "jax.sharding.Mesh | None" = None,
                       axis_name: str = "sweep",
                       max_history_points: int = 4000,
-                      chunk_runner=None) -> SweepResult:
+                      chunk_runner=None,
+                      convergence_metric: str = "rel_iter") -> SweepResult:
     """Drive a batch of solves to convergence.
 
     With ``mesh`` given, the batch axis is sharded over ``mesh[axis_name]``
@@ -129,13 +131,24 @@ def run_batched_sweep(step_fn, get_uv, ops, states, tolerance: float,
     a <=1000-point downsample at result-storage time (base.py:121,137-142);
     keeping 4x that preserves the final linspace downsample's fidelity while
     a 128-lane x 10^6-step sweep no longer accumulates ~GB of host rows.
+
+    ``convergence_metric="energy"`` applies the same per-lane kinetic-energy
+    plateau the single-run path uses (models/runner.py): lanes never
+    self-converge on the device criterion (tolerance 0 — divergence freezing
+    stays active) and the plateau test runs host-side per chunk on each
+    lane's chunk-end energy. A plateaued lane is recorded converged at that
+    chunk boundary but keeps integrating until the whole batch finishes —
+    extra steps at steady state only polish, so no device-side freeze mask
+    is needed.
     """
     chunk = int(min(chunk, max(1, max_iterations)))
+    use_energy = convergence_metric == "energy"
+    inner_tol = 0.0 if use_energy else tolerance
     if chunk_runner is not None and mesh is None:
-        fused = chunk_runner(chunk, tolerance, warmup)
+        fused = chunk_runner(chunk, inner_tol, warmup)
         runner = lambda _ops, s, it: fused(s, it)
     else:
-        runner = make_batched_chunk_runner(step_fn, get_uv, chunk, tolerance,
+        runner = make_batched_chunk_runner(step_fn, get_uv, chunk, inner_tol,
                                            warmup)
 
     multiprocess = jax.process_count() > 1
@@ -172,6 +185,10 @@ def run_batched_sweep(step_fn, get_uv, ops, states, tolerance: float,
     n_kept = 0
     stride = 1
     conv_accum = None
+    energy_col = METRIC_KEYS.index("energy")
+    e_prev = None               # (B,) previous chunk-end energies
+    plateau = None              # (B,) consecutive plateaued chunks
+    conv_it_energy = None       # (B,) iteration of energy convergence
     t0 = time.time()
     it = 0
     while it < max_iterations:
@@ -181,10 +198,11 @@ def run_batched_sweep(step_fn, get_uv, ops, states, tolerance: float,
         conv_accum = host(ever_conv) if conv_accum is None \
             else (conv_accum | host(ever_conv))
         n_ran = min(chunk, max_iterations - it)
+        rows_h = host(rows)[:n_ran]  # (n, B, K)
         gis = np.arange(it, it + n_ran)
         keep = (gis >= warmup) & ((gis - warmup) % stride == 0)
         if keep.any():
-            rows_buf.append(host(rows)[:n_ran][keep])  # (n, B, K)
+            rows_buf.append(rows_h[keep])  # (n, B, K)
             idx_buf.append(gis[keep])
             n_kept += int(keep.sum())
         if n_kept > 2 * max_history_points:
@@ -194,15 +212,47 @@ def run_batched_sweep(step_fn, get_uv, ops, states, tolerance: float,
             n_kept = all_rows.shape[0]
             stride *= 2
         it += n_ran
-        if done_h.all():
+        if use_energy and it > warmup:
+            e_rows = rows_h[:, :, energy_col]  # (n, B)
+            B = e_rows.shape[1]
+            if plateau is None:
+                plateau = np.zeros(B, np.int64)
+                conv_it_energy = np.full(B, -1, np.int64)
+            # last finite energy per lane (frozen/diverged lanes emit NaN)
+            e_last = np.full(B, np.nan)
+            for b in range(B):
+                finite = np.isfinite(e_rows[:, b])
+                if finite.any():
+                    e_last[b] = e_rows[np.flatnonzero(finite)[-1], b]
+            if e_prev is not None:
+                flat = (np.abs(e_last - e_prev)
+                        <= tolerance * np.maximum(np.abs(e_last), 1e-30))
+                flat &= np.isfinite(e_last)
+                plateau = np.where(flat, plateau + 1, 0)
+                newly = (plateau >= ENERGY_PLATEAU_CHUNKS) \
+                    & (conv_it_energy < 0)
+                conv_it_energy[newly] = it
+            e_prev = np.where(np.isfinite(e_last), e_last,
+                              e_prev if e_prev is not None else e_last)
+        lane_done = done_h if not use_energy else (
+            done_h | (conv_it_energy >= 0 if conv_it_energy is not None
+                      else np.zeros_like(done_h)))
+        if lane_done.all():
             break
     wall = time.time() - t0
 
     conv_iter_h = host(conv_iter)
-    iterations = np.where(conv_iter_h > 0, conv_iter_h, it)
-    converged = conv_accum if conv_accum is not None else np.zeros(
-        iterations.shape, bool)
-    diverged = host(done) & ~converged
+    if use_energy:
+        if conv_it_energy is None:
+            conv_it_energy = np.full(conv_iter_h.shape, -1, np.int64)
+        converged = conv_it_energy >= 0
+        iterations = np.where(converged, conv_it_energy, it)
+        diverged = host(done) & ~converged
+    else:
+        iterations = np.where(conv_iter_h > 0, conv_iter_h, it)
+        converged = conv_accum if conv_accum is not None else np.zeros(
+            iterations.shape, bool)
+        diverged = host(done) & ~converged
 
     if rows_buf:
         rows_all = np.concatenate(rows_buf, axis=0)  # (T', B, K)

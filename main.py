@@ -408,16 +408,22 @@ def run_multirun_batched(jobs):
     log.info("Batched sweep: %d lanes of %s (N=%s)", len(jobs),
              type(first).__name__, jobs[0]["N"])
 
+    batch_metric = "rel_iter"
     if type(first).__name__ in ("SGSolver", "FSGSolver"):
         from anap3_tpu.models.spectral import resolve_convergence_metric
 
-        m = resolve_convergence_metric(first.params)
-        if m != "rel_iter":
+        batch_metric = resolve_convergence_metric(first.params)
+        if batch_metric == "residual":
+            # the batched runner implements rel_iter and energy; the
+            # residual criterion remains single-run only
             log.warning(
-                "Batched sweep lanes converge on the per-step rel_iter "
-                "criterion; convergence_metric=%s applies to single runs "
-                "only (run large-N members serially for the energy "
-                "criterion)", m)
+                "Batched sweep lanes do not implement "
+                "convergence_metric=residual; using rel_iter (run those "
+                "members serially for the residual criterion)")
+            batch_metric = "rel_iter"
+        elif batch_metric == "energy":
+            log.info("Batched sweep lanes converge on the per-lane "
+                     "kinetic-energy plateau")
 
     if type(first).__name__ == "FSGSolver":
         from anap3_tpu.parallel.fsg_sweep import run_batched_fsg
@@ -472,7 +478,9 @@ def run_multirun_batched(jobs):
             step_fn, lambda s: (s.u, s.v), ops, states,
             tolerance=float(jobs[0]["tolerance"]),
             max_iterations=int(jobs[0]["max_iterations"]), mesh=mesh,
-            chunk=chunk, chunk_runner=chunk_runner)
+            chunk=chunk, chunk_runner=chunk_runner,
+            convergence_metric=batch_metric if
+            type(first).__name__ == "SGSolver" else "rel_iter")
         lane_results = []
         for k in range(len(jobs)):
             # recorded columns carry their global iteration index (long

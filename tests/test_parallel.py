@@ -62,6 +62,37 @@ class TestBatchedSweep:
                 res.history["energy"][k][:50],
                 np.asarray(single.history["energy"][:50]), rtol=1e-8)
 
+    def test_energy_criterion_per_lane(self):
+        """Batched sweeps support the kinetic-energy plateau: each lane's
+        convergence matches its single-run energy-criterion solve."""
+        opses, states, singles = [], [], {}
+        for Re in (100.0, 400.0):
+            p = make_params(Re, tolerance=1e-6, max_iterations=20000)
+            ops, _ = core.build_spectral_ops(p)
+            state = core.initial_state(ops)
+            opses.append(ops)
+            states.append(state)
+            singles[Re] = run_fixed_point(
+                lambda s, o=ops: core.sg_step(o, s), lambda s: (s.u, s.v),
+                state, tolerance=1e-6, max_iterations=20000, chunk=200,
+                convergence_metric="energy")
+
+        res = sweep_mod.run_batched_sweep(
+            core.sg_step, lambda s: (s.u, s.v), sweep_mod.stack_ops(opses),
+            jax.tree.map(lambda *a: jnp.stack(a), *states),
+            tolerance=1e-6, max_iterations=20000, chunk=200,
+            convergence_metric="energy")
+        assert res.converged.all()
+        assert not res.diverged.any()
+        for k, Re in enumerate((100.0, 400.0)):
+            single = singles[Re]
+            assert single.converged
+            # same plateau test at the same chunk cadence -> identical
+            # recorded convergence iteration, physics to tolerance
+            assert int(res.iterations[k]) == int(single.iterations)
+            np.testing.assert_allclose(np.asarray(res.states.u[k]),
+                                       np.asarray(single.state.u), atol=1e-5)
+
     def test_singular_mode_lanes_batch(self):
         """Sweep lanes in corner_treatment=singular mode vmap correctly:
         the nine optional constant fields stack like any other ops leaf
