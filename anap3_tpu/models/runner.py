@@ -189,6 +189,7 @@ def run_fixed_point(
     chunk_runner=None,
     stall_chunks: int = 0,
     max_history_points: int = 4000,
+    energy_plateau_chunks: int = None,
 ) -> IterationResult:
     """Run ``step_fn`` to convergence with reference-exact semantics.
 
@@ -218,6 +219,16 @@ def run_fixed_point(
     while a 10^7-iteration run holds O(4000) rows instead of ~400 MB.
     The converging iteration's row is always retained so ``final_*``
     metrics stay exact.
+
+    ``energy_plateau_chunks`` overrides the number of consecutive
+    plateaued chunks the energy criterion requires (default
+    ENERGY_PLATEAU_CHUNKS). The plateau window is measured in STEPS while
+    dt ~ 1/N^2, so large-N solvers pass an N^2-scaled value
+    (models/spectral.scaled_plateau_chunks) to keep the window's PHYSICAL
+    duration — and hence the exit accuracy — resolution-independent
+    (measured: a fixed 3x2000-step window lands exactly on the
+    Newton-exact steady state at N=96 but exits 6% short in energy at
+    N=320).
     """
     chunk = int(min(chunk, max(1, max_iterations)))
     # "energy" metric: the per-step state machine never self-converges
@@ -233,6 +244,7 @@ def run_fixed_point(
             f"unknown convergence_metric {convergence_metric!r}: expected "
             "'rel_iter', 'residual' or 'energy'")
     use_energy = convergence_metric == "energy"
+    plateau_target = int(energy_plateau_chunks or ENERGY_PLATEAU_CHUNKS)
     inner_metric = "rel_iter" if use_energy else convergence_metric
     inner_tol = 0.0 if use_energy else tolerance
     if chunk_runner is not None:
@@ -349,7 +361,7 @@ def run_fixed_point(
                     # point of a non-monotone E(t) (high-Re spin-up
                     # overshoot) cannot satisfy the test in passing
                     plateau_count += 1
-                    if plateau_count >= ENERGY_PLATEAU_CHUNKS:
+                    if plateau_count >= plateau_target:
                         converged = True
                         iterations = it
                         break

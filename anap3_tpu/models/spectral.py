@@ -63,6 +63,26 @@ def resolve_convergence_metric(params, n: Optional[int] = None,
     return auto_large if n >= AUTO_ENERGY_MIN_N else "rel_iter"
 
 
+def scaled_plateau_chunks(n: int, chunk: int, anchor_n: int = 96,
+                          anchor_window: int = 6000) -> int:
+    """N^2-scaled energy-plateau window, in chunks.
+
+    The plateau test integrates |dE| over a window measured in outer
+    ITERATIONS while dt ~ 1/N^2 shrinks each iteration's physical-time
+    advance, so a fixed window exits earlier (in physical terms) the
+    finer the grid. Anchor: the validated N=96 configuration
+    (3 chunks x 2000 steps lands exactly on the f64 Newton-exact steady
+    state — E_exact=0.041071, L2 0.0989/0.0749 — while the same fixed
+    window at N=320 exits at E=0.0384, 6% short). The window therefore
+    grows as (n/anchor_n)^2 iterations, floored at the anchor window so
+    small-N runs keep at least the anchor's physical duration.
+    """
+    from .runner import ENERGY_PLATEAU_CHUNKS
+
+    window = anchor_window * (max(int(n), anchor_n) / anchor_n) ** 2
+    return max(ENERGY_PLATEAU_CHUNKS, int(np.ceil(window / max(int(chunk), 1))))
+
+
 def effective_chunk(chunk_runner_factory, requested: int) -> int:
     """Chunk length to book with run_fixed_point for a fused runner.
 
@@ -234,19 +254,22 @@ class SGSolver(CavitySolver):
             if start_iter:
                 log.info("Resumed from checkpoint at iteration %d", start_iter)
 
+        chunk_eff = effective_chunk(chunk_runner, self.params.chunk_size)
         result = run_fixed_point(
             step,
             lambda s: (s.u, s.v),
             self.state,
             tolerance=tol,
             max_iterations=max_iter,
-            chunk=effective_chunk(chunk_runner, self.params.chunk_size),
+            chunk=chunk_eff,
             log_callback=self._log_callback,
             checkpoint_mgr=ckpt_mgr,
             start_iteration=start_iter,
             convergence_metric=metric,
             chunk_runner=chunk_runner,
             stall_chunks=self._stall_chunks(),
+            energy_plateau_chunks=scaled_plateau_chunks(
+                int(self.params.nx), chunk_eff),
         )
         if result.stalled:
             log.warning(
@@ -376,6 +399,8 @@ class SGSolver(CavitySolver):
             convergence_metric=resolve_convergence_metric(self.params),
             chunk_runner=runner_factory,
             stall_chunks=self._stall_chunks(),
+            energy_plateau_chunks=scaled_plateau_chunks(
+                int(self.params.nx), int(self.params.chunk_size)),
         )
         u, v, p_pad = result.state
         self.state = core.SpectralState(
@@ -592,14 +617,16 @@ class FSGSolver(SGSolver):
                 def step(s, _ops=ops):
                     return core.sg_step(_ops, s)
 
+            chunk_eff = effective_chunk(chunk_runner, self.params.chunk_size)
             result = run_fixed_point(
                 step, lambda s: (s.u, s.v), state,
                 tolerance=level_tol, max_iterations=max_iter,
-                chunk=effective_chunk(chunk_runner, self.params.chunk_size),
+                chunk=chunk_eff,
                 log_callback=self._log_callback
                 if level_idx == len(orders) - 1 else None,
                 convergence_metric=metric,
                 chunk_runner=chunk_runner,
+                energy_plateau_chunks=scaled_plateau_chunks(n, chunk_eff),
             )
             state = result.state
             total_iters += result.iterations

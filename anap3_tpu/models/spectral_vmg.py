@@ -49,7 +49,7 @@ import jax.numpy as jnp
 
 from .params import SpectralParameters
 from .runner import run_fixed_point, IterationResult
-from .spectral import SGSolver, resolve_convergence_metric
+from .spectral import SGSolver, resolve_convergence_metric, scaled_plateau_chunks
 from . import spectral_sg as core
 from ..ops.basis import make_basis
 from ..ops.transfer import (fft_restriction_matrix, injection_restriction_matrix,
@@ -428,12 +428,19 @@ class VMGSolver(SGSolver):
         if (str(getattr(self.params, "convergence_metric", "auto")) == "auto"
                 and int(self.params.nx) >= VMG_AUTO_ENERGY_MIN_N):
             metric = "energy"
+        cyc_chunk = max(1, min(50, self.params.chunk_size // (self.NU1 + self.NU2)))
         result = run_fixed_point(
             v_cycle, lambda s: (s.u, s.v), self.state,
             tolerance=tol, max_iterations=max_cycles,
-            chunk=max(1, min(50, self.params.chunk_size // (self.NU1 + self.NU2))),
+            chunk=cyc_chunk,
             log_callback=self._log_callback,
             convergence_metric=metric,
+            # cycle-based plateau window, anchored at the validated N=192
+            # V-cycle configuration (3 chunks x 50 cycles lands at the
+            # smoothed-lid floor; see spectral.scaled_plateau_chunks)
+            energy_plateau_chunks=scaled_plateau_chunks(
+                int(self.params.nx), cyc_chunk,
+                anchor_n=192, anchor_window=150),
         )
         self.state = result.state
         result = self._maybe_newton_polish(result)
@@ -498,13 +505,18 @@ class FMGSolver(SGSolver):
                 # warm starts, where rel_iter is adequate (FSG cascade
                 # semantics)
                 metric = "energy"
+            cyc_chunk = max(1, min(50, self.params.chunk_size // 4))
             result = run_fixed_point(
                 step, lambda s: (s.u, s.v), state,
                 tolerance=level_tol, max_iterations=budget,
-                chunk=max(1, min(50, self.params.chunk_size // 4)),
+                chunk=cyc_chunk,
                 log_callback=self._log_callback
                 if k == len(coarse_to_fine) - 1 else None,
                 convergence_metric=metric,
+                energy_plateau_chunks=scaled_plateau_chunks(
+                    level.n, cyc_chunk, anchor_n=192, anchor_window=150)
+                if len(sub_levels) > 1 else scaled_plateau_chunks(
+                    level.n, cyc_chunk),
             )
             state = result.state
             total_iters += result.iterations

@@ -204,6 +204,56 @@ def bench_numpy_reference(max_steps: int = 30) -> float:
     return steps / (time.time() - t0)
 
 
+def bench_lanes() -> dict:
+    """Aggregate sweep throughput: B lanes of N=128 in ONE lane-batched
+    Pallas program (ops/pallas_lanes.py — the production multirun path for
+    fused-kernel-eligible sweep groups, main.run_multirun_batched)."""
+    import jax
+    import jax.numpy as jnp
+
+    from anap3_tpu.models.params import SpectralParameters
+    from anap3_tpu.models import spectral_sg as core
+    from anap3_tpu.ops import pallas_lanes as PL
+
+    B = PL.suggest_lane_count(N, 8)
+    Res = np.linspace(400.0, 1100.0, B)
+    ops_list = []
+    states = []
+    for Re in Res:
+        p = SpectralParameters(
+            name="spectral", Re=float(Re), nx=N, ny=N,
+            basis_type="chebyshev", CFL=1.5, beta_squared=5.0,
+            corner_treatment="smoothing", corner_smoothing=0.15,
+            dtype="float32")
+        o, _ = core.build_spectral_ops(p)
+        ops_list.append(o)
+        states.append(core.initial_state(o))
+    batched = jax.tree.map(lambda *a: jnp.stack(a), *states)
+
+    CHUNK = 2000
+    runner = PL.make_lane_chunk_runner(ops_list, CHUNK, 1e-12, 10)
+    t0 = time.time()
+    out = runner(batched, jnp.asarray(0, jnp.int32))
+    _sync(out[0].u)
+    compile_s = time.time() - t0
+
+    s, it = out[0], CHUNK
+    t0 = time.time()
+    n_chunks = 0
+    while time.time() - t0 < 4.0:
+        out = runner(s, jnp.asarray(it, jnp.int32))
+        s, it = out[0], it + CHUNK
+        n_chunks += 1
+    _sync(s.u)
+    wall = time.time() - t0
+    rate = B * n_chunks * CHUNK / wall
+    return {
+        f"sweep_lane_steps_per_sec_N{N}_B{B}": round(rate, 1),
+        "sweep_lane_compile_seconds": round(compile_s, 2),
+        "sweep_lanes_finite": bool(np.isfinite(np.asarray(s.u)).all()),
+    }
+
+
 def bench_fv() -> dict:
     """FV-SIMPLE iterations/sec at N=128 in the device-native dtype.
 
@@ -399,6 +449,10 @@ def main():
         fv_extras.update(bench_stretch())
     except Exception as exc:
         fv_extras["stretch_error"] = repr(exc)[:200]
+    try:
+        fv_extras.update(bench_lanes())
+    except Exception as exc:
+        fv_extras["lanes_error"] = repr(exc)[:200]
     result = {
         "metric": f"spectral_N{N}_rk4_timesteps_per_sec",
         "value": round(rate, 1),
