@@ -231,6 +231,53 @@ class TestEnergyConvergence:
         e = res.history["energy"]
         assert abs(e[-1] - e[-101]) <= 2e-6
 
+    def test_plateau_window_override_delays_exit(self):
+        """energy_plateau_chunks stretches the consecutive-chunk window:
+        the same synthetic drift converges strictly later (more plateaued
+        chunks consumed) under a larger window, never earlier."""
+        from anap3_tpu.models.runner import run_fixed_point
+
+        def step(s):
+            k = s["k"]
+            energy = 1.0 - 0.5 ** (k.astype(jnp.float32) / 50.0)
+            zero = jnp.asarray(0.0, jnp.float32)
+            m = {"u_eq": zero, "v_eq": zero, "continuity": zero + 1.0,
+                 "energy": energy, "enstrophy": zero, "palinstrophy": zero}
+            return {"k": k + 1, "x": s["x"] + 1.0}, m
+
+        def run(window):
+            init = {"k": jnp.asarray(0, jnp.int32),
+                    "x": jnp.asarray(1.0, jnp.float32)}
+            return run_fixed_point(
+                step, lambda s: (s["x"][None], s["x"][None]), init,
+                tolerance=1e-6, max_iterations=100000, chunk=100,
+                convergence_metric="energy", energy_plateau_chunks=window)
+
+        base, wide = run(None), run(12)
+        assert base.converged and wide.converged
+        # default window is ENERGY_PLATEAU_CHUNKS=3; widening to 12 must
+        # consume at least 9 more plateaued chunks of 100 steps
+        assert wide.iterations >= base.iterations + 900
+
+    def test_scaled_plateau_chunks(self):
+        """N^2 scaling anchored at (96, 6000 steps), floored at the anchor
+        window and at ENERGY_PLATEAU_CHUNKS, rounded up to whole chunks."""
+        from anap3_tpu.models.runner import ENERGY_PLATEAU_CHUNKS
+        from anap3_tpu.models.spectral import scaled_plateau_chunks
+
+        # at/below the anchor N the window is the anchor window
+        assert scaled_plateau_chunks(96, 2000) == ENERGY_PLATEAU_CHUNKS
+        assert scaled_plateau_chunks(12, 2000) == ENERGY_PLATEAU_CHUNKS
+        # N=192 doubles dt resolution -> 4x the steps: 24000/2000 = 12
+        assert scaled_plateau_chunks(192, 2000) == 12
+        # N=320: 6000*(320/96)^2 = 66667 steps -> ceil(/2000) = 34
+        assert scaled_plateau_chunks(320, 2000) == 34
+        # chunk granularity: same window, smaller chunks -> more of them
+        assert scaled_plateau_chunks(192, 500) == 48
+        # cycle-anchored variant (VMG): 150*(320/192)^2 / 50 -> 9
+        assert scaled_plateau_chunks(
+            320, 50, anchor_n=192, anchor_window=150) == 9
+
     def test_energy_criterion_sg_matches_rel_iter_solution(self):
         sg_ref = SGSolver(params=make_params(nx=12, ny=12, tolerance=1e-6,
                                              max_iterations=30000,
