@@ -109,10 +109,13 @@ def run_batched_fsg(param_list: Sequence[SpectralParameters],
             metric = resolve_convergence_metric(p0, n=n)
         else:
             metric = "rel_iter"
+        from ..models.spectral import scaled_plateau_chunks
+
         res = run_batched_sweep(
             core.sg_step, lambda s: (s.u, s.v), batched_ops, states,
             tolerance=level_tol, max_iterations=max_iter, chunk=chunk,
-            mesh=mesh, convergence_metric=metric)
+            mesh=mesh, convergence_metric=metric,
+            energy_plateau_chunks=scaled_plateau_chunks(n, chunk))
         states = res.states
         iters += np.asarray(res.iterations)
         converged = np.asarray(res.converged)

@@ -111,7 +111,8 @@ def run_batched_sweep(step_fn, get_uv, ops, states, tolerance: float,
                       axis_name: str = "sweep",
                       max_history_points: int = 4000,
                       chunk_runner=None,
-                      convergence_metric: str = "rel_iter") -> SweepResult:
+                      convergence_metric: str = "rel_iter",
+                      energy_plateau_chunks: int = None) -> SweepResult:
     """Drive a batch of solves to convergence.
 
     With ``mesh`` given, the batch axis is sharded over ``mesh[axis_name]``
@@ -139,9 +140,13 @@ def run_batched_sweep(step_fn, get_uv, ops, states, tolerance: float,
     lane's chunk-end energy. A plateaued lane is recorded converged at that
     chunk boundary but keeps integrating until the whole batch finishes —
     extra steps at steady state only polish, so no device-side freeze mask
-    is needed.
+    is needed. ``energy_plateau_chunks`` overrides the consecutive-chunk
+    window (callers pass models/spectral.scaled_plateau_chunks so the
+    window's physical duration stays resolution-independent, exactly as the
+    single-run path does).
     """
     chunk = int(min(chunk, max(1, max_iterations)))
+    plateau_target = int(energy_plateau_chunks or ENERGY_PLATEAU_CHUNKS)
     use_energy = convergence_metric == "energy"
     inner_tol = 0.0 if use_energy else tolerance
     if chunk_runner is not None and mesh is None:
@@ -218,6 +223,7 @@ def run_batched_sweep(step_fn, get_uv, ops, states, tolerance: float,
             if plateau is None:
                 plateau = np.zeros(B, np.int64)
                 conv_it_energy = np.full(B, -1, np.int64)
+                e_w0 = np.full(B, np.nan)
             # last finite energy per lane (frozen/diverged lanes emit NaN)
             e_last = np.full(B, np.nan)
             for b in range(B):
@@ -228,10 +234,20 @@ def run_batched_sweep(step_fn, get_uv, ops, states, tolerance: float,
                 flat = (np.abs(e_last - e_prev)
                         <= tolerance * np.maximum(np.abs(e_last), 1e-30))
                 flat &= np.isfinite(e_last)
+                # window-start energy where a plateau run begins (0 -> 1)
+                e_w0 = np.where(flat & (plateau == 0), e_prev, e_w0)
                 plateau = np.where(flat, plateau + 1, 0)
-                newly = (plateau >= ENERGY_PLATEAU_CHUNKS) \
-                    & (conv_it_energy < 0)
+                reached = plateau >= plateau_target
+                # net-drift gate (cf. models/runner.py): the window's NET
+                # change must stay within sqrt(window) per-chunk budgets —
+                # slow monotone drift (linear in window) fails and keeps
+                # integrating; f32 noise (a sqrt(window) random walk) passes
+                net_ok = (np.abs(e_last - e_w0)
+                          <= tolerance * np.maximum(np.abs(e_last), 1e-30)
+                          * max(1.0, plateau_target ** 0.5))
+                newly = reached & net_ok & (conv_it_energy < 0)
                 conv_it_energy[newly] = it
+                plateau = np.where(reached & ~net_ok, 0, plateau)
             e_prev = np.where(np.isfinite(e_last), e_last,
                               e_prev if e_prev is not None else e_last)
         lane_done = done_h if not use_energy else (

@@ -392,6 +392,15 @@ def run_multirun_batched(jobs):
     from anap3_tpu.parallel import run_batched_sweep, stack_ops
     import jax
 
+    def _scaled_plateau(n, chunk, spectral):
+        # keep the energy-plateau window's PHYSICAL duration resolution-
+        # independent (dt ~ 1/N^2), exactly like the single-run path
+        if not spectral:
+            return None
+        from anap3_tpu.models.spectral import scaled_plateau_chunks
+
+        return scaled_plateau_chunks(n, chunk)
+
     solvers = [C.instantiate(cfg["solver"]) for cfg in jobs]
     first = solvers[0]
 
@@ -480,7 +489,10 @@ def run_multirun_batched(jobs):
             max_iterations=int(jobs[0]["max_iterations"]), mesh=mesh,
             chunk=chunk, chunk_runner=chunk_runner,
             convergence_metric=batch_metric if
-            type(first).__name__ == "SGSolver" else "rel_iter")
+            type(first).__name__ == "SGSolver" else "rel_iter",
+            energy_plateau_chunks=_scaled_plateau(
+                int(jobs[0]["N"]), chunk,
+                type(first).__name__ == "SGSolver"))
         lane_results = []
         for k in range(len(jobs)):
             # recorded columns carry their global iteration index (long
