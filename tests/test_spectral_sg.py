@@ -259,6 +259,38 @@ class TestEnergyConvergence:
         # consume at least 9 more plateaued chunks of 100 steps
         assert wide.iterations >= base.iterations + 900
 
+    def test_net_drift_gate_rejects_slow_monotone_drift(self):
+        """A drift of 0.8x the per-chunk budget passes every per-chunk
+        flatness test but accumulates linearly across the window — the
+        net-drift gate must keep integrating until the drift actually
+        ends (regression: FSG N=320 exited at E=0.0385 vs the 0.0396
+        steady value through the per-chunk-only test)."""
+        from anap3_tpu.models.runner import run_fixed_point
+
+        tol, chunk, drift_until = 1e-4, 100, 40000
+
+        def step(s):
+            k = s["k"]
+            # per-chunk dE = 0.8 * tol * E while drifting, then exactly 0
+            rate = jnp.where(k < drift_until, 0.8 * tol / chunk, 0.0)
+            energy = s["e"] * (1.0 + rate)
+            zero = jnp.asarray(0.0, jnp.float32)
+            m = {"u_eq": zero, "v_eq": zero, "continuity": zero + 1.0,
+                 "energy": energy, "enstrophy": zero, "palinstrophy": zero}
+            return {"k": k + 1, "e": energy, "x": s["x"] + 1.0}, m
+
+        init = {"k": jnp.asarray(0, jnp.int32),
+                "e": jnp.asarray(1.0, jnp.float32),
+                "x": jnp.asarray(1.0, jnp.float32)}
+        res = run_fixed_point(
+            step, lambda s: (s["x"][None], s["x"][None]), init,
+            tolerance=tol, max_iterations=100000, chunk=chunk,
+            convergence_metric="energy", energy_plateau_chunks=8)
+        assert res.converged
+        # without the net gate the 8-chunk window closes at ~900 steps;
+        # the gate must hold out until the drift stops
+        assert res.iterations >= drift_until
+
     def test_scaled_plateau_chunks(self):
         """N^2 scaling anchored at (96, 6000 steps), floored at the anchor
         window and at ENERGY_PLATEAU_CHUNKS, rounded up to whole chunks."""
