@@ -46,7 +46,8 @@ from ..models.spectral_sg import SpectralOps, SpectralState
 from .pallas_tiled import (_DotEngine, _pad_ops, _RK4_ALPHAS, N_COLS,
                            MAX_TILED_N)
 
-__all__ = ["make_lane_chunk_runner", "suggest_lane_count", "MAX_LANE_N"]
+__all__ = ["make_lane_chunk_runner", "suggest_lane_count", "MAX_LANE_N",
+           "maybe_lane_runner"]
 
 MAX_LANE_N = MAX_TILED_N
 
@@ -65,6 +66,46 @@ def suggest_lane_count(n: int, requested: int) -> int:
     unit = nfp * nfp * 4
     fit = max(1, int(_VMEM_BUDGET_BYTES / (_UNITS_PER_LANE * unit)))
     return max(1, min(int(requested), fit))
+
+
+def maybe_lane_runner(ops_list, params, mesh=None, log=None):
+    """Factory ``(chunk, tol, warmup) -> chunk_fn`` when the lane kernel
+    covers this batch, else None (callers fall back to the vmapped XLA
+    path). Covers: single device (no mesh), TPU float32 with
+    ``use_pallas`` not disabled, N within the kernel/VMEM budget, shared
+    operators and the cavity BC structure across lanes.
+    """
+    import jax as _jax
+
+    flag = str(getattr(params, "use_pallas", "auto")).lower()
+    if mesh is not None or flag in ("false", "0", "no"):
+        return None
+    if flag not in ("true", "1", "yes") and (
+            _jax.default_backend() != "tpu"
+            or jnp.dtype(params.dtype) != jnp.float32):
+        return None
+    n = int(np.asarray(ops_list[0].bc_u).shape[0]) - 1
+    B = len(ops_list)
+    if n > MAX_LANE_N:
+        return None
+    fit = suggest_lane_count(n, B)
+    if fit < B:
+        if log is not None:
+            log.info("%d lanes exceed the lane kernel's VMEM budget "
+                     "(%d fit at N=%d); using the vmapped XLA path", B, fit, n)
+        return None
+    try:
+        _validate_lanes(ops_list)
+    except ValueError as exc:
+        if log is not None:
+            log.info("Lane-batched kernel unavailable (%s); using the "
+                     "vmapped XLA path", exc)
+        return None
+    if log is not None:
+        log.info("Lane-batched fused kernel: %d lanes of N=%d in one "
+                 "Pallas program", B, n)
+    return lambda chunk, tol, warmup: make_lane_chunk_runner(
+        ops_list, chunk, tol, warmup)
 
 
 def _validate_lanes(ops_list) -> None:

@@ -456,29 +456,13 @@ def run_multirun_batched(jobs):
         # budget, or for non-cavity BC structures.
         chunk_runner = None
         chunk = 200
-        if (type(first).__name__ == "SGSolver" and mesh is None
-                and first._pallas_enabled()):
-            from anap3_tpu.ops import pallas_lanes as PL
+        if type(first).__name__ == "SGSolver":
+            from anap3_tpu.ops.pallas_lanes import maybe_lane_runner
 
-            ops_l = [s.ops for s in solvers]
-            n = int(jobs[0]["N"])
-            fit = PL.suggest_lane_count(n, len(ops_l))
-            if n <= PL.MAX_LANE_N and fit >= len(ops_l):
-                try:
-                    PL._validate_lanes(ops_l)
-                    chunk_runner = (
-                        lambda c, t, w: PL.make_lane_chunk_runner(
-                            ops_l, c, t, w))
-                    chunk = int(first.params.chunk_size)
-                    log.info("Lane-batched fused kernel: %d lanes in one "
-                             "Pallas program", len(ops_l))
-                except ValueError as exc:
-                    log.info("Lane-batched kernel unavailable (%s); using "
-                             "the vmapped XLA path", exc)
-            elif n <= PL.MAX_LANE_N:
-                log.info("%d lanes exceed the lane kernel's VMEM budget "
-                         "(%d fit at N=%d); using the vmapped XLA path",
-                         len(ops_l), fit, n)
+            chunk_runner = maybe_lane_runner(
+                [s.ops for s in solvers], first.params, mesh=mesh, log=log)
+            if chunk_runner is not None:
+                chunk = int(first.params.chunk_size)
 
         ops = stack_ops([s.ops for s in solvers])
         states = jax.tree.map(lambda *a: jnp.stack(a),

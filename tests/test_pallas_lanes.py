@@ -149,3 +149,22 @@ class TestLaneGuards:
         np.testing.assert_allclose(np.asarray(res.states.u),
                                    np.asarray(ref.states.u),
                                    rtol=2e-5, atol=2e-6)
+
+    def test_maybe_lane_runner_gating(self):
+        """The shared dispatch helper: factory on eligible batches, None on
+        CPU-auto / mesh / mismatched lanes / VMEM overflow."""
+        from anap3_tpu.ops.pallas_lanes import maybe_lane_runner
+
+        ops_list = [mk_ops(100.0), mk_ops(400.0)]
+        p = SpectralParameters(Re=100.0, nx=12, ny=12, dtype="float32")
+        # auto on the CPU backend -> vmapped path
+        assert maybe_lane_runner(ops_list, p) is None
+        # forced on -> factory (construction only; execution needs TPU)
+        p_on = SpectralParameters(Re=100.0, nx=12, ny=12, dtype="float32",
+                                  use_pallas=True)
+        assert callable(maybe_lane_runner(ops_list, p_on))
+        # a mesh always opts out (the kernel is single-device)
+        assert maybe_lane_runner(ops_list, p_on, mesh=object()) is None
+        # mismatched lane operators -> None (not an exception)
+        other = mk_ops(100.0, n=16)
+        assert maybe_lane_runner([ops_list[0], other], p_on) is None
