@@ -229,6 +229,41 @@ class TestGraftEntry:
 
 
 class TestBatchedFSG:
+    def test_fsg_level_uses_lane_kernel(self, monkeypatch):
+        """run_batched_fsg dispatches each level through the lane-batched
+        fused kernel when eligible (interpret mode on CPU) and reproduces
+        the vmapped XLA path."""
+        from anap3_tpu.ops import pallas_lanes as PL
+        from anap3_tpu.parallel import fsg_sweep
+
+        real = PL.make_lane_chunk_runner
+        calls = []
+
+        def interp(ops_list, chunk, tol, warmup, **kw):
+            calls.append(len(ops_list))
+            kw["interpret"] = True
+            return real(ops_list, chunk, tol, warmup, **kw)
+
+        monkeypatch.setattr(PL, "make_lane_chunk_runner", interp)
+
+        def fsg_params(Re, **kw):
+            return make_params(Re, n=12, multigrid="fsg", n_levels=1,
+                               coarse_tolerance_factor=1.0, dtype="float32",
+                               tolerance=1e-3, max_iterations=600,
+                               chunk_size=100, name="spectral_fsg", **kw)
+
+        lanes = [fsg_params(100.0, use_pallas=True),
+                 fsg_params(400.0, use_pallas=True)]
+        res = fsg_sweep.run_batched_fsg(lanes)
+        assert calls == [2]
+        ref = fsg_sweep.run_batched_fsg([fsg_params(100.0),
+                                         fsg_params(400.0)])
+        assert [r.iterations for r in res] == [r.iterations for r in ref]
+        # x3 bf16 decomposition vs the f32 XLA step: near-f32 agreement
+        np.testing.assert_allclose(np.asarray(res[0].state.u),
+                                   np.asarray(ref[0].state.u),
+                                   rtol=1e-4, atol=1e-4)
+
     @pytest.mark.slow
     def test_batched_fsg_matches_per_lane(self):
         """Batched FSG lanes reproduce the standalone FSG solver physics."""
