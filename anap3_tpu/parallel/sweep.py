@@ -196,9 +196,20 @@ def run_batched_sweep(step_fn, get_uv, ops, states, tolerance: float,
     conv_it_energy = None       # (B,) iteration of energy convergence
     t0 = time.time()
     it = 0
-    while it < max_iterations:
-        states, done, conv_iter, ever_conv, rows = runner(
-            ops, states, jnp.asarray(it, jnp.int32))
+    # Speculative chunk pipelining (cf. models/runner.py): chunk k+1 is
+    # DISPATCHED before chunk k's flags/rows are read back, overlapping the
+    # per-chunk host sync (~100-250 ms through this image's remote tunnel)
+    # with device compute. Exact: the in-kernel machine freezes
+    # converged/diverged lanes (their speculated steps are no-ops), and a
+    # chunk speculated past the batch's host-side exit is simply dropped.
+    cur = None
+    if it < max_iterations:
+        cur = runner(ops, states, jnp.asarray(it, jnp.int32))
+    while cur is not None:
+        states, done, conv_iter, ever_conv, rows = cur
+        nxt = None
+        if it + chunk < max_iterations:
+            nxt = runner(ops, states, jnp.asarray(it + chunk, jnp.int32))
         done_h = host(done)
         conv_accum = host(ever_conv) if conv_accum is None \
             else (conv_accum | host(ever_conv))
@@ -254,7 +265,8 @@ def run_batched_sweep(step_fn, get_uv, ops, states, tolerance: float,
             done_h | (conv_it_energy >= 0 if conv_it_energy is not None
                       else np.zeros_like(done_h)))
         if lane_done.all():
-            break
+            break  # speculated chunk (if any) is dropped
+        cur = nxt
     wall = time.time() - t0
 
     conv_iter_h = host(conv_iter)
