@@ -174,6 +174,12 @@ _TAU_BLK_N = 256
 # "auto" convergence criterion switches from per-cycle rel_iter to the
 # kinetic-energy plateau at this fine-grid size (see VMGSolver.solve).
 VMG_AUTO_ENERGY_MIN_N = 256
+# Largest fine grid where rest-started V-cycles are validated to converge
+# to the physical steady state (N=256: 415 s to the smoothing-floor L2; at
+# [320,160] three independent rest starts land on a spurious FAS fixed
+# point with E stationary at 0.0300 vs 0.0397 — warm starts converge, so
+# FMG is the production solver there; see VMGSolver.solve).
+VMG_COLD_START_MAX_N = 256
 
 
 def build_fused_tau_steps(solver, levels) -> dict | None:
@@ -413,6 +419,19 @@ class VMGSolver(SGSolver):
             # "cycle" against a NU1+NU2-scaled cycle budget.
             super().solve(tolerance=tol, max_iter=max_iter)
             return
+        if (int(self.params.nx) > VMG_COLD_START_MAX_N
+                and not bool(jnp.any(self.state.v != 0))):
+            # measured (STATUS.md "N=320 ladder"): [320,160] V-cycles from
+            # rest converge to a spurious FAS fixed point (E stationary to
+            # <2e-10/cycle at 0.0300 vs the 0.0397 steady value; L2 0.25 vs
+            # the ~0.10 floor) while warm-started cycles at the same size
+            # converge fine — FMG's nested iteration is the validated path.
+            log.warning(
+                "VMG cold starts are validated to N=%d; at N=%d the "
+                "rest-started V-cycle converges to a spurious FAS fixed "
+                "point (measured at [320,160]). Use solver=spectral/fmg "
+                "(nested iteration) or warm-start from a coarser converged "
+                "state.", VMG_COLD_START_MAX_N, int(self.params.nx))
         v_cycle = make_v_cycle(levels, self.NU1, self.NU2, self.NU_COARSE,
                                fused_steps=self._fused_steps(levels))
         # per-cycle work = nu1+nu2 fine smoothing steps; scale the cycle
