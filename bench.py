@@ -12,10 +12,25 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 
 from __future__ import annotations
 
+import faulthandler
 import json
+import signal
 import sys
 import time
 from pathlib import Path
+
+# debuggability through the remote-TPU tunnel: stage markers go to stderr
+# (the driver parses only the stdout JSON line), and SIGUSR1 dumps all
+# thread stacks if a stage wedges.
+faulthandler.register(signal.SIGUSR1, all_threads=True)
+
+
+def _stage(msg: str) -> None:
+    print(f"[bench +{time.time() - _T0:.0f}s] {msg}", file=sys.stderr,
+          flush=True)
+
+
+_T0 = time.time()
 
 import numpy as np
 
@@ -232,9 +247,31 @@ def bench_lanes() -> dict:
 
     CHUNK = 2000
     runner = PL.make_lane_chunk_runner(ops_list, CHUNK, 1e-12, 10)
+    # First call compiles the B-lane Mosaic program; through this image's
+    # remote-compile tunnel that can take seconds (cached) to tens of
+    # minutes (cold tunnel under load, measured 2026-08-19). Run it on a
+    # daemon thread with a hard bound so a slow compile degrades this
+    # stage instead of hanging the whole benchmark; a completed compile
+    # lands in the persistent cache, so the next run is fast regardless.
+    import threading
+
+    box = {}
     t0 = time.time()
-    out = runner(batched, jnp.asarray(0, jnp.int32))
-    _sync(out[0].u)
+
+    def _warm():
+        out = runner(batched, jnp.asarray(0, jnp.int32))
+        _sync(out[0].u)
+        box["out"] = out
+
+    th = threading.Thread(target=_warm, daemon=True)
+    th.start()
+    th.join(timeout=float(__import__("os").environ.get(
+        "BENCH_LANES_COMPILE_TIMEOUT", "900")))
+    if "out" not in box:
+        raise TimeoutError(
+            f"lane kernel compile exceeded bound ({time.time() - t0:.0f}s); "
+            "rerun once the persistent cache holds it")
+    out = box["out"]
     compile_s = time.time() - t0
 
     s, it = out[0], CHUNK
@@ -439,20 +476,26 @@ def main():
             "tpu_unavailable": True,
         }))
         return
+    _stage("device probe ok; headline N=128")
     rate, extras = bench_device()
+    _stage(f"headline {rate:.0f} steps/s; numpy baseline")
     ref_rate = bench_numpy_reference()
+    _stage("fv")
     try:
         fv_extras = bench_fv()
     except Exception as exc:  # FV bench must not kill the primary metric
         fv_extras = {"fv_error": repr(exc)[:200]}
+    _stage("stretch N=256")
     try:
         fv_extras.update(bench_stretch())
     except Exception as exc:
         fv_extras["stretch_error"] = repr(exc)[:200]
+    _stage("lane-batched sweep")
     try:
         fv_extras.update(bench_lanes())
     except Exception as exc:
         fv_extras["lanes_error"] = repr(exc)[:200]
+    _stage("done")
     result = {
         "metric": f"spectral_N{N}_rk4_timesteps_per_sec",
         "value": round(rate, 1),
