@@ -281,6 +281,12 @@ def bench_lanes() -> dict:
         out = runner(s, jnp.asarray(it, jnp.int32))
         s, it = out[0], it + CHUNK
         n_chunks += 1
+        # Bound the dispatch queue: a lane chunk takes O(100ms) of device
+        # time while dispatch costs ~1ms, so an unsynced 4s loop enqueues
+        # a backlog the final sync then drains for tens of minutes
+        # (observed 2026-08-19: bench wedged >18 min at this stage).
+        if n_chunks % 4 == 0:
+            _sync(s.u)
     _sync(s.u)
     wall = time.time() - t0
     rate = B * n_chunks * CHUNK / wall
