@@ -127,16 +127,24 @@ def make_fused_paths(ops, params, tol, metric: Optional[str] = None):
     # machine then only detects divergence and the plateau test runs
     # host-side). Only the build-time tier gate needs the mapped value.
     effective = "rel_iter" if metric == "energy" else metric
+    # Conserved-quantity dots + residual border strips cost ~15-25% of an
+    # aligned step when sampled every step; sample them every 8th step
+    # instead (history rows hold the last sampled values — the 1000-point
+    # downsample is far sparser, and the energy-plateau windows span
+    # thousands of steps). The 'residual' criterion overrides this inside
+    # the kernel (it consumes the continuity norm every step).
+    ALIGNED_METRICS_EVERY = 8
     if ops.sing_u is not None:
         # singular subtraction: the bordered-core aligned kernel carries the
-        # singular constants at N in {128, 256} (~3.5x the tiled rate at the
+        # singular constants up to N=256 (~3.5x the tiled rate at the
         # headline size); the tiled kernels cover every other N <= 320. The
         # untiled x6 kernel assumes zero/lid-only borders — never singular.
         if n > MAX_TILED_N:
             return None, None
         step = make_tiled_sg_step(ops, algorithm=alg)
         m_every = 1 if n <= MAX_FUSED_N else 8
-        if aligned_supported(n):
+        if aligned_supported(n, singular=True):
+            m_every = ALIGNED_METRICS_EVERY
             factory = lambda chunk, tol_, metric_: make_aligned_chunk_runner(
                 ops, chunk, tol_, WARMUP_ITERS, algorithm=alg,
                 convergence_metric=metric_, metrics_every=m_every)
@@ -161,14 +169,13 @@ def make_fused_paths(ops, params, tol, metric: Optional[str] = None):
             ops, chunk, tol_, WARMUP_ITERS)
         ) if effective == "rel_iter" else None
     elif aligned_supported(n):
-        # bordered-core MXU-aligned tier (N in {128, 256}): state rides a
-        # 128-aligned core, borders are per-run constants — ~4x the tiled
-        # rate at N=128 (183k vs 48k steps/s), ~2x at N=256 (28.8k)
+        # bordered-core MXU-aligned tier (N % 8 == 0, 32 <= N <= 320): state
+        # rides a padding-free core, borders are per-run constants — ~4x the
+        # tiled rate at N=128 (183k vs 48k steps/s), ~2x at N=256 (31.6k)
         step = make_tiled_sg_step(ops, algorithm=alg)
-        m_every = 1 if n <= MAX_FUSED_N else 8
         factory = lambda chunk, tol_, metric_: make_aligned_chunk_runner(
             ops, chunk, tol_, WARMUP_ITERS, algorithm=alg,
-            convergence_metric=metric_, metrics_every=m_every)
+            convergence_metric=metric_, metrics_every=ALIGNED_METRICS_EVERY)
     elif n <= MAX_TILED_N:
         step = make_tiled_sg_step(ops, algorithm=alg)
         # above the N=192 tier the conserved-quantity dots cost ~8% of the

@@ -399,6 +399,65 @@ class VMGSolver(SGSolver):
             "multigrid.")
         return True
 
+    def _cold_start_warm_state(self, levels, tol, max_iter):
+        """Nested-iteration warm start for cold solves above the validated
+        ceiling (VERDICT r3 #4): run the FMG cascade over every level BELOW
+        the finest (each solved by V-cycles over its sub-hierarchy, exactly
+        FMGSolver's per-level loop), then prolongate to the finest level.
+        Coarse cold starts are within their validated range by construction
+        (build_vmg_levels halves, so the second level sits at nx/2 <=
+        VMG_COLD_START_MAX_N whenever nx <= 2*VMG_COLD_START_MAX_N; deeper
+        fines recurse through the same cascade shape level by level).
+
+        Returns ``(fine_state, total_sub_iterations)``.
+        """
+        dtype = jnp.dtype(self.params.dtype)
+        coarse_to_fine = levels[::-1]
+        state = None
+        total = 0
+        for k, level in enumerate(coarse_to_fine[:-1]):
+            sub_levels = levels[len(levels) - 1 - k:]
+            level_tol = tol * (self.params.coarse_tolerance_factor
+                               ** (len(coarse_to_fine) - 1 - k))
+            if state is None:
+                state = core.initial_state(level.ops)
+            else:
+                state = FMGSolver._prolongate_fmg(
+                    self, coarse_to_fine[k - 1], level, state, dtype)
+            cyc_chunk = max(1, min(50, self.params.chunk_size // 4))
+            if len(sub_levels) > 1:
+                step = make_v_cycle(sub_levels, self.NU1, self.NU2,
+                                    self.NU_COARSE,
+                                    fused_steps=self._fused_steps(sub_levels))
+                budget = max(1, max_iter // (self.NU1 + self.NU2))
+                window = scaled_plateau_chunks(
+                    level.n, cyc_chunk, anchor_n=192, anchor_window=150)
+            else:
+                def step(s, _ops=level.ops):
+                    return core.sg_step(_ops, s)
+                budget = max_iter
+                window = scaled_plateau_chunks(level.n, cyc_chunk)
+            result = run_fixed_point(
+                step, lambda s: (s.u, s.v), state,
+                tolerance=level_tol, max_iterations=budget, chunk=cyc_chunk,
+                convergence_metric=resolve_convergence_metric(
+                    self.params, auto_large="rel_iter"),
+                energy_plateau_chunks=window,
+            )
+            state = result.state
+            total += int(result.iterations)
+            log.info("warm-start level %d (N=%d): %d iterations, "
+                     "converged=%s", k, level.n, result.iterations,
+                     result.converged)
+            if result.diverged:
+                log.warning("warm-start level %d (N=%d) diverged; "
+                            "continuing with its last finite state",
+                            k, level.n)
+                break
+        state = FMGSolver._prolongate_fmg(
+            self, coarse_to_fine[-2], coarse_to_fine[-1], state, dtype)
+        return state, total
+
     def solve(self, tolerance: float = None, max_iter: int = None) -> None:
         tol = self.params.tolerance if tolerance is None else tolerance
         max_iter = self.params.max_iterations if max_iter is None else max_iter
@@ -425,13 +484,18 @@ class VMGSolver(SGSolver):
             # rest converge to a spurious FAS fixed point (E stationary to
             # <2e-10/cycle at 0.0300 vs the 0.0397 steady value; L2 0.25 vs
             # the ~0.10 floor) while warm-started cycles at the same size
-            # converge fine — FMG's nested iteration is the validated path.
-            log.warning(
-                "VMG cold starts are validated to N=%d; at N=%d the "
-                "rest-started V-cycle converges to a spurious FAS fixed "
-                "point (measured at [320,160]). Use solver=spectral/fmg "
-                "(nested iteration) or warm-start from a coarser converged "
-                "state.", VMG_COLD_START_MAX_N, int(self.params.nx))
+            # converge fine. Above the validated cold-start ceiling the
+            # solver warm-starts ITSELF with the nested-iteration cascade
+            # (round 4; previously it only warned and pointed at FMG).
+            log.info(
+                "VMG cold start at N=%d is above the validated ceiling "
+                "(N=%d): warm-starting from the nested-iteration cascade "
+                "to avoid the measured spurious FAS fixed point.",
+                int(self.params.nx), VMG_COLD_START_MAX_N)
+            self.state, pre_iters = self._cold_start_warm_state(
+                levels, tol, max_iter)
+            log.info("VMG warm-start prelude done (%d sub-level "
+                     "iterations)", pre_iters)
         v_cycle = make_v_cycle(levels, self.NU1, self.NU2, self.NU_COARSE,
                                fused_steps=self._fused_steps(levels))
         # per-cycle work = nu1+nu2 fine smoothing steps; scale the cycle

@@ -1,4 +1,4 @@
-"""MXU-aligned bordered-core chunk kernel for N in {128, 256}.
+"""MXU-aligned bordered-core chunk kernel (N % 8 == 0, N <= 320).
 
 The tiled kernels (ops/pallas_tiled.py) pad the (N+1)-point grid to the
 next 32 multiple: at N=128 every dot runs at (320,160)@(160,160) = 12 MXU
@@ -61,10 +61,22 @@ from jax.experimental.pallas import tpu as pltpu
 from ..models.spectral_sg import SpectralOps, SpectralState
 from .pallas_tiled import _DotEngine, _RK4_ALPHAS, N_COLS
 
-__all__ = ["make_aligned_chunk_runner", "aligned_supported", "MAX_ALIGNED_N"]
+__all__ = ["make_aligned_chunk_runner", "aligned_supported", "MAX_ALIGNED_N",
+           "MAX_ALIGNED_SINGULAR_N"]
 
-# VMEM ceiling: at N=256 the working set is ~8.5 MB; N=384 would need ~19 MB.
-MAX_ALIGNED_N = 256
+# Size ceiling. The bordered-core decomposition is size-generic (every
+# border is a per-run constant at any N); the only real requirements are
+# sublane alignment of the core (N % 8 == 0) and VMEM. At N=320 the x3
+# working set is ~14 MB — over the default ~16 MB scoped budget once the
+# compiler's stage temporaries are counted, so kernels above N=256 request
+# a raised per-kernel vmem_limit_bytes (the v5e has 128 MB physical VMEM,
+# see ops/pallas_tiled.py). Above 320 the tiled row-blocked kernels take
+# over (they bound the row-phase temporaries; this kernel does not).
+MAX_ALIGNED_N = 320
+# Singular mode adds nine (N, N) constant fields (~3.7 MB at N=320), which
+# together with the raised stage temporaries was measured OOM-prone above
+# N=256 in the tiled tier — keep the proven ceiling for singular runs.
+MAX_ALIGNED_SINGULAR_N = 256
 
 _MAT_NAMES = ("DX2", "PX2", "DY2", "Dx", "DyT", "IyT", "GyT",
               "RCOLS", "LROWS")
@@ -88,9 +100,15 @@ _N_SCAL = 24
  _R_SDWY) = range(8)
 
 
-def aligned_supported(n: int) -> bool:
-    """True when the bordered-core kernel covers polynomial order ``n``."""
-    return n % 128 == 0 and 0 < n <= MAX_ALIGNED_N
+def aligned_supported(n: int, singular: bool = False) -> bool:
+    """True when the bordered-core kernel covers polynomial order ``n``.
+
+    The core (first N points per axis) must be sublane-aligned
+    (N % 8 == 0); below N=32 the fixed per-step state-machine cost
+    dominates and the whole-step kernels win, so the tier opts out there.
+    """
+    cap = MAX_ALIGNED_SINGULAR_N if singular else MAX_ALIGNED_N
+    return n % 8 == 0 and 32 <= n <= cap
 
 
 def _prep_aligned(ops: SpectralOps, algorithm: str):
@@ -98,9 +116,10 @@ def _prep_aligned(ops: SpectralOps, algorithm: str):
     nf = ops.bc_u.shape[0]
     nc = nf - 1
     ni = nf - 2
-    if not aligned_supported(nc):
+    if not aligned_supported(nc, singular=ops.sing_u is not None):
         raise ValueError(
-            f"aligned kernel supports N % 128 == 0, N <= {MAX_ALIGNED_N} "
+            f"aligned kernel supports N % 8 == 0, 32 <= N <= "
+            f"{MAX_ALIGNED_N} ({MAX_ALIGNED_SINGULAR_N} singular) "
             f"(got N={nc})")
 
     A = lambda x: np.asarray(x, np.float64)
@@ -283,6 +302,9 @@ def make_aligned_chunk_runner(ops: SpectralOps, chunk: int, tolerance: float,
         raise ValueError(f"unknown matmul algorithm {algorithm!r}")
     use_residual = convergence_metric == "residual"
     metrics_every = max(1, int(metrics_every))
+    # the 'residual' criterion consumes the continuity norm every step;
+    # the others only display it, so it follows the metrics decimation
+    res_every = 1 if use_residual else metrics_every
     mats, scal, nf, ni, nc = _prep_aligned(ops, algorithm)
     f32 = jnp.float32
     mat_names = list(mats)
@@ -376,8 +398,18 @@ def make_aligned_chunk_runner(ops: SpectralOps, chunk: int, tolerance: float,
             sp[:] = bp[:] + adt * R_p
             if not accumulate:
                 return None
+            # hand the last stage's residuals + cached operands to the
+            # (possibly decimated) residual-norm pass
+            return R_u, R_v, R_p, u_c, v_c, p_c, a5_c, a6_c
 
-            # ---- full-grid residual norms: core + exact border strips ----
+        def res_pass(stage_out):
+            """Full-grid residual norms: core + exact border strips.
+
+            Runs every ``metrics_every``-th step (every step under the
+            'residual' criterion, which consumes the continuity norm) —
+            the strip completions cost a handful of thin MXU dots that
+            the rel_iter/energy criteria never read."""
+            R_u, R_v, R_p, u_c, v_c, p_c, a5_c, a6_c = stage_out
             acc_u = jnp.sum(R_u * R_u)
             acc_v = jnp.sum(R_v * R_v)
             acc_p = jnp.sum(R_p * R_p)   # interior-masked: borders are 0
@@ -415,7 +447,7 @@ def make_aligned_chunk_runner(ops: SpectralOps, chunk: int, tolerance: float,
                      + jnp.sum(R_u_bc * R_u_bc) + R_u_bb * R_u_bb)
             acc_v = (acc_v + jnp.sum(R_v_cb * R_v_cb)
                      + jnp.sum(R_v_bc * R_v_bc) + R_v_bb * R_v_bb)
-            return acc_u, acc_v, acc_p
+            return jnp.sqrt(acc_u), jnp.sqrt(acc_v), jnp.sqrt(acc_p)
 
         def metrics_pass():
             """Full-grid conserved quantities from the core state + exact
@@ -502,7 +534,8 @@ def make_aligned_chunk_runner(ops: SpectralOps, chunk: int, tolerance: float,
             return s(_CFL) / (lam_x + lam_y)
 
         def loop_body(i, carry):
-            done_i, conv_iter, ref_norm, e_c, z_c, pl_c = carry
+            (done_i, conv_iter, ref_norm, e_c, z_c, pl_c,
+             ru_c, rv_c, rp_c) = carry
             done = done_i > 0
             idx = start_iter + i
 
@@ -519,10 +552,17 @@ def make_aligned_chunk_runner(ops: SpectralOps, chunk: int, tolerance: float,
             bp[:] = p_out[:]
 
             dt = adaptive_dt()
-            acc = None
+            stage_out = None
             for k, alpha in enumerate(_RK4_ALPHAS):
-                acc = run_stage(alpha * dt,
-                                accumulate=(k == len(_RK4_ALPHAS) - 1))
+                stage_out = run_stage(alpha * dt,
+                                      accumulate=(k == len(_RK4_ALPHAS) - 1))
+            if res_every == 1:
+                r_un, r_vn, r_pn = res_pass(stage_out)
+            else:
+                r_un, r_vn, r_pn = jax.lax.cond(
+                    idx % jnp.int32(res_every) == 0,
+                    lambda: res_pass(stage_out),
+                    lambda: (ru_c, rv_c, rp_c))
             if metrics_every == 1:
                 energy, enstrophy, palinstrophy = metrics_pass()
             else:
@@ -538,9 +578,9 @@ def make_aligned_chunk_runner(ops: SpectralOps, chunk: int, tolerance: float,
             nan = jnp.float32(jnp.nan)
             row_v = jnp.stack([
                 jnp.where(done, nan, rel),
-                jnp.where(done, nan, jnp.sqrt(acc[0])),
-                jnp.where(done, nan, jnp.sqrt(acc[1])),
-                jnp.where(done, nan, jnp.sqrt(acc[2])),
+                jnp.where(done, nan, r_un),
+                jnp.where(done, nan, r_vn),
+                jnp.where(done, nan, r_pn),
                 jnp.where(done, nan, energy),
                 jnp.where(done, nan, enstrophy),
                 jnp.where(done, nan, palinstrophy),
@@ -548,7 +588,7 @@ def make_aligned_chunk_runner(ops: SpectralOps, chunk: int, tolerance: float,
             rows_out[pl.ds(i, 1), :] = row_v
 
             if use_residual:
-                cont = jnp.sqrt(acc[2])
+                cont = r_pn
                 ref_norm = jnp.where(idx == warmup, cont, ref_norm)
                 crit = cont / jnp.maximum(ref_norm, 1e-30)
             else:
@@ -566,16 +606,16 @@ def make_aligned_chunk_runner(ops: SpectralOps, chunk: int, tolerance: float,
                 p_out[:] = sp[:]
 
             return (now_done.astype(jnp.int32), conv_iter, ref_norm,
-                    energy, enstrophy, palinstrophy)
+                    energy, enstrophy, palinstrophy, r_un, r_vn, r_pn)
 
         zero = jnp.float32(0.0)
         # int32 bounds: under jax_enable_x64 plain Python bounds would make
         # the loop index int64, which Mosaic's tracer cannot mix with the
         # int32 SMEM scalars (RecursionError in the int promotion)
-        done_i, conv_iter, ref_norm, _e, _z, _pl = jax.lax.fori_loop(
+        done_i, conv_iter, ref_norm, *_rest = jax.lax.fori_loop(
             jnp.int32(0), jnp.int32(chunk), loop_body,
             (jnp.int32(0), jnp.int32(-1), rnorm_ref[0, 0],
-             zero, zero, zero))
+             zero, zero, zero, zero, zero, zero))
         state_out[0, 0] = done_i
         state_out[0, 1] = conv_iter
         rnorm_out[0, 0] = ref_norm
@@ -600,6 +640,10 @@ def make_aligned_chunk_runner(ops: SpectralOps, chunk: int, tolerance: float,
                    pl.BlockSpec(memory_space=pltpu.SMEM)),
         scratch_shapes=[pltpu.VMEM((nc, nc), f32) for _ in range(6)]
         + [pltpu.VMEM((2 * nc, nc), f32) for _ in range(3)],
+        # N=320's x3 working set (~14 MB + stage temporaries) exceeds the
+        # default ~16 MB scoped VMEM budget; request more (128 MB physical)
+        compiler_params=(pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20)
+                         if nc > 256 and not interpret else None),
         interpret=interpret,
     )
     mat_list = [mats[k] for k in mat_names]

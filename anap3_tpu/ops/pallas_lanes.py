@@ -86,6 +86,20 @@ def maybe_lane_runner(ops_list, params, mesh=None, log=None):
         return None
     n = int(np.asarray(ops_list[0].bc_u).shape[0]) - 1
     B = len(ops_list)
+    # Prefer the lane-batched BORDERED-CORE kernel (round 4): the padded
+    # tiled engine pays the ceil(+1) MXU tax per lane (59k aggregate at
+    # N=128 B=8 vs 182k for ONE serial aligned solve, BENCH_r03); the
+    # aligned lane kernel removes it per lane. metrics_every=8 matches the
+    # production single-solve aligned tier (models/spectral.py).
+    from .pallas_lanes_aligned import (aligned_lanes_supported,
+                                       make_aligned_lane_runner)
+
+    if aligned_lanes_supported(ops_list):
+        if log is not None:
+            log.info("Lane-batched ALIGNED kernel: %d lanes of N=%d "
+                     "(bordered cores) in one Pallas program", B, n)
+        return lambda chunk, tol, warmup: make_aligned_lane_runner(
+            ops_list, chunk, tol, warmup, metrics_every=8)
     if n > MAX_LANE_N:
         return None
     fit = suggest_lane_count(n, B)

@@ -1,0 +1,480 @@
+"""Lane-batched bordered-core kernel: B sweep lanes of the ALIGNED tier.
+
+Round 3 measured the production batched-sweep path (ops/pallas_lanes.py,
+built on the padded TILED engine) at 59k aggregate lane-steps/s at
+N=128 B=8 — ~3x SLOWER than running the same lanes serially through the
+bordered-core aligned kernel (182k). The padding tax the aligned kernel
+removes for B=1 (every dot at N=128 pays 12 MXU passes for ~2 of useful
+work) was still being paid per lane. This module lane-batches the aligned
+decomposition itself (ops/pallas_aligned.py):
+
+- lane states ride ROW-STACKED ``(B*N, N)`` CORE arrays (no +1 padding:
+  borders are per-run constants per lane, exactly as in the B=1 aligned
+  kernel — lane b owns rows ``[b*N, (b+1)*N)``; N % 8 == 0 keeps every
+  per-lane row slice sublane-aligned);
+- RIGHT-side products contract over columns, so ONE MXU dot serves the
+  whole batch (``(B*N, N) @ (N, 2N)``); the per-lane rank-1 lid
+  completions (CU2) are stacked and added in one VPU op;
+- LEFT-side products stay per-lane with the same dot shapes as the B=1
+  aligned kernel — per-lane arithmetic is BIT-IDENTICAL to
+  ops/pallas_aligned.make_aligned_chunk_runner at the same
+  ``metrics_every`` (matmul row-blocks are independent, so the batched
+  right dots produce bit-identical per-lane rows);
+- the per-lane convergence state machine (rel-iter criterion, warmup
+  gate, NaN freeze) matches the B=1 kernel per lane: a converged or
+  diverged lane freezes without disturbing its neighbours;
+- conserved quantities AND residual-norm border strips run on the
+  ``metrics_every`` cadence (held per-lane carries in between) — the
+  rel_iter/energy criteria the sweep path uses never read them per step.
+
+Reference semantics: per-lane solver is src/solvers/spectral/sg.py
+(residuals :278-346, CFL dt :387-408, RK4 :410-449); lane isolation is the
+reference's divergence handling (multigrid/fsg.py:1184-1190). Scope: the
+regularized-lid cavity BC structure (bc_v == 0, bc_u nonzero only on the
+lid column), shared operator matrices across lanes, non-singular. Singular
+or non-cavity sweeps fall back to the tiled lane kernel / vmapped path.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..models.spectral_sg import SpectralOps, SpectralState
+from .pallas_tiled import _DotEngine, _RK4_ALPHAS, N_COLS
+from .pallas_aligned import (
+    _prep_aligned, _corner_dot, aligned_supported,
+    _NU, _BETA, _CFL, _LID, _IDX, _IDY, _DYT_BB, _DYYT_BB, _UBORD_SQ,
+    _E_BORD, _CONV_BB, _LAPU_BB, _LAPV_BB, _OM_BB, _WBB, _DX_BB,
+    _VBORD_SQ, _CONVV_BB, _N_SCAL,
+    _C_UCOL, _C_CONVU, _C_DUDXX, _C_WCOL, _C_DXCB, _C_IYTCB, _C_GYTCB,
+    _C_DYTCB, _C_CONVV, _C_DVDX, _C_DVDXX, _C_VCOL,
+    _R_DYTBC, _R_LAPU, _R_WROW, _R_LAPV, _R_OM,
+)
+
+__all__ = ["make_aligned_lane_runner", "aligned_lanes_supported",
+           "suggest_aligned_lane_count"]
+
+# Per-lane VMEM units (one unit = nc*nc*4 bytes): 3 aliased state arrays +
+# 3 stage scratch + 2 for the stacked CU2 + ~10 for the stage SSA
+# temporaries Mosaic materializes (RU/RV values, bf16 hi/lo splits of the
+# three state caches, per-lane left-product values in flight).
+_UNITS_PER_LANE = 18.0
+# The v5e has 128 MB of physical VMEM (see ops/pallas_tiled.py); the lanes
+# kernel always requests a raised scoped limit, so the sizing budget is
+# set well above the 16 MB default but conservatively below physical to
+# leave room for the operator matrices and compiler stack.
+_VMEM_BUDGET_BYTES = 48 * 2**20
+
+
+def suggest_aligned_lane_count(n: int, requested: int) -> int:
+    """Largest B <= requested whose working set fits the VMEM budget."""
+    unit = n * n * 4
+    fit = max(1, int(_VMEM_BUDGET_BYTES / (_UNITS_PER_LANE * unit)))
+    return max(1, min(int(requested), fit))
+
+
+def aligned_lanes_supported(ops_list) -> bool:
+    """True when the aligned lane kernel covers this batch: supported
+    core size, shared operators, cavity BC structure, non-singular."""
+    n = int(np.asarray(ops_list[0].bc_u).shape[0]) - 1
+    if not aligned_supported(n):
+        return False
+    if any(o.sing_u is not None for o in ops_list):
+        return False
+    try:
+        _validate_aligned_lanes(ops_list)
+    except ValueError:
+        return False
+    return suggest_aligned_lane_count(n, len(ops_list)) >= len(ops_list)
+
+
+def _validate_aligned_lanes(ops_list) -> None:
+    """Lanes must share every operator matrix (same N/basis/domain) and the
+    cavity BC structure; only scalars and the lid profile may vary."""
+    o0 = ops_list[0]
+    for k, o in enumerate(ops_list[1:], 1):
+        for name in ("Dx", "DyT", "Dxx", "DyyT", "Ix", "IyT", "Gx", "GyT",
+                     "interior", "W2d"):
+            if not np.array_equal(np.asarray(getattr(o0, name)),
+                                  np.asarray(getattr(o, name))):
+                raise ValueError(
+                    f"lane {k} operator {name!r} differs from lane 0: "
+                    "lane-batched kernels need shared operators")
+    for k, o in enumerate(ops_list):
+        bc_u = np.asarray(o.bc_u)
+        if np.any(np.asarray(o.bc_v)) or np.any(bc_u[:, :-1]):
+            raise ValueError(
+                "aligned lane kernel assumes the cavity BC structure "
+                "(bc_v == 0, bc_u nonzero only on the lid column)")
+        if o.sing_u is not None:
+            raise ValueError("aligned lane kernel does not carry the "
+                             "singular constant fields")
+
+
+def make_aligned_lane_runner(ops_list, chunk: int, tolerance: float,
+                             warmup: int, interpret: bool = False,
+                             algorithm: str = "x3", metrics_every: int = 1):
+    """Build the fused B-lane aligned chunk function.
+
+    Returns ``chunk_fn(states, start_iter) -> (states, done, conv_iter,
+    ever_conv, rows)`` with batched ``states`` (leading axis B), per-lane
+    ``done/conv_iter/ever_conv`` of shape (B,), and ``rows`` of shape
+    (chunk, B, N_COLS) in runner.METRIC_KEYS order — the same contract as
+    ops/pallas_lanes.make_lane_chunk_runner.
+    """
+    B = len(ops_list)
+    if B < 1:
+        raise ValueError("need at least one lane")
+    _validate_aligned_lanes(ops_list)
+    if algorithm not in ("x3", "x6"):
+        raise ValueError(f"unknown matmul algorithm {algorithm!r}")
+    metrics_every = max(1, int(metrics_every))
+    chunk = int(chunk)
+    f32 = jnp.float32
+
+    # host prep per lane via the B=1 aligned prep (all f64 host math);
+    # shared operator matrices come from lane 0, per-lane constants stack
+    preps = [_prep_aligned(o, algorithm) for o in ops_list]
+    mats0, _, nf, ni, nc = preps[0]
+    # shared operator matrices + masks (validated identical across lanes);
+    # CU2/CCOL/CROW are per-lane constants and stack below
+    mats = {k: v for k, v in mats0.items()
+            if k not in ("CU2", "CCOL", "CROW")}
+    CU2 = jnp.concatenate([p[0]["CU2"] for p in preps], axis=0)  # (B*nc,2nc)
+    CCOL = jnp.concatenate([p[0]["CCOL"] for p in preps], axis=0)
+    CROW = jnp.concatenate([p[0]["CROW"] for p in preps], axis=0)  # (8B,nc)
+    scal = jnp.concatenate([p[1] for p in preps], axis=0)  # (B, _N_SCAL)
+    mat_names = list(mats)
+    n_mats = len(mat_names)
+    BN = B * nc
+
+    # one row of per-lane metric octets, padded to the 128-lane tile
+    RW = max(128, -(-8 * B // 128) * 128)
+
+    def kernel(*args):
+        refs = dict(zip(mat_names, args[:n_mats]))
+        (cu2_ref, ccol_ref, crow_ref,
+         u_in, v_in, p_in, scal_ref, iscal_ref,
+         u_out, v_out, p_out, rows_out, state_out,
+         su, sv, sp) = args[n_mats:]
+
+        eng = _DotEngine(algorithm, refs)
+        start_iter = iscal_ref[0, 0]
+        intr = refs["interior"][:]
+        w2d = refs["W2d"][:]
+        cu2 = cu2_ref[:]
+
+        def lane(b):
+            return slice(b * nc, (b + 1) * nc)
+
+        def col(b, i):
+            return ccol_ref[b * nc:(b + 1) * nc, i:i + 1]
+
+        def row(b, i):
+            return crow_ref[8 * b + i:8 * b + i + 1, :]
+
+        def s(b, i):
+            return scal_ref[b, i]
+
+        def eng_lrow_dx():
+            """Dx's border row as an f32 (1, nc) value for corner dots."""
+            if eng.x3:
+                return (refs["LROWS_hi"][0:1, :].astype(f32)
+                        + refs["LROWS_lo"][0:1, :].astype(f32))
+            return refs["LROWS"][0:1, :]
+
+        def run_stage(adts, accumulate: bool):
+            """One RK stage on every lane core. ``adts`` is the per-lane
+            alpha*dt list. Returns the last stage's per-lane residuals and
+            cached operands for the (decimated) residual-norm pass."""
+            u_c = eng.cache(su[:])
+            v_c = eng.cache(sv[:])
+            p_c = eng.cache(sp[:])
+            # batched rights: one MXU dot covers every lane; the per-lane
+            # rank-1 lid completions ride the stacked CU2 in one VPU add
+            RU = eng.right(u_c, "DY2") + cu2
+            RV = eng.right(v_c, "DY2")
+            keep = []
+            for b in range(B):
+                r = lane(b)
+                u_b = su[r, :]
+                v_b = sv[r, :]
+                LU = eng.left("DX2", u_c, rows=r)   # [Dx@u ; Dxx@u]
+                LV = eng.left("DX2", v_c, rows=r)
+                LP = eng.left("PX2", p_c, rows=r)   # [a5 ; a6]
+                a5_c = eng.cache(LP[0:nc, :])
+                a6_c = eng.cache(LP[nc:2 * nc, :])
+                dpx = eng.right(a5_c, "IyT")
+                dpy = eng.right(a6_c, "GyT")
+                du_dx = LU[0:nc, :]
+                dv_dx = LV[0:nc, :]
+                du_dy = RU[r, 0:nc]
+                dv_dy = RV[r, 0:nc]
+                lap_u = LU[nc:2 * nc, :] + RU[r, nc:2 * nc]
+                lap_v = LV[nc:2 * nc, :] + RV[r, nc:2 * nc]
+                nu_b = s(b, _NU)
+                R_u = -(u_b * du_dx + v_b * du_dy) - dpx + nu_b * lap_u
+                R_v = -(u_b * dv_dx + v_b * dv_dy) - dpy + nu_b * lap_v
+                R_p = -s(b, _BETA) * (du_dx + dv_dy) * intr
+                su[r, :] = jnp.where(intr > 0.5,
+                                     u_out[r, :] + adts[b] * R_u, 0.0)
+                sv[r, :] = jnp.where(intr > 0.5,
+                                     v_out[r, :] + adts[b] * R_v, 0.0)
+                sp[r, :] = p_out[r, :] + adts[b] * R_p
+                if accumulate:
+                    keep.append((R_u, R_v, R_p, a5_c, a6_c))
+            if not accumulate:
+                return None
+            return keep, u_c, v_c, p_c
+
+        def res_pass(stage_out):
+            """Per-lane full-grid residual norms: core + exact border
+            strips — the B=1 aligned res_pass applied lane by lane."""
+            keep, u_c, v_c, p_c = stage_out
+            out = []
+            for b in range(B):
+                r = lane(b)
+                R_u, R_v, R_p, a5_c, a6_c = keep[b]
+                acc_u = jnp.sum(R_u * R_u)
+                acc_v = jnp.sum(R_v * R_v)
+                acc_p = jnp.sum(R_p * R_p)  # interior-masked
+                nu_b = s(b, _NU)
+                TU = eng.right(u_c, "RCOLS", rows=r)
+                TV = eng.right(v_c, "RCOLS", rows=r)
+                T5 = eng.right(a5_c, "RCOLS")
+                T6 = eng.right(a6_c, "RCOLS")
+                Lu8 = eng.left("LROWS", u_c, rows=r)
+                Lv8 = eng.left("LROWS", v_c, rows=r)
+                Lp8 = eng.left("LROWS", p_c, rows=r)
+                # column strip (j = N)
+                du_dyy_cb = TU[:, 1:2] + col(b, _C_UCOL) * s(b, _DYYT_BB)
+                R_u_cb = (-col(b, _C_CONVU) - T5[:, 2:3]
+                          + nu_b * (col(b, _C_DUDXX) + du_dyy_cb))
+                dv_dyy_cb = TV[:, 1:2] + col(b, _C_VCOL) * s(b, _DYYT_BB)
+                R_v_cb = (-col(b, _C_CONVV) - T6[:, 3:4]
+                          + nu_b * (col(b, _C_DVDXX) + dv_dyy_cb))
+                # row strip (i = N)
+                a5_bc = Lp8[2:3, :]
+                a6_bc = Lp8[3:4, :]
+                dpx_bc = eng.right(eng.cache(a5_bc), "IyT")
+                dpy_bc = eng.right(eng.cache(a6_bc), "GyT")
+                R_u_bc = -dpx_bc + nu_b * (Lu8[1:2, :] + row(b, _R_LAPU))
+                R_v_bc = -dpy_bc + nu_b * (Lv8[1:2, :] + row(b, _R_LAPV))
+                # corner (N, N)
+                dpx_bb = _corner_dot(a5_bc, col(b, _C_IYTCB))
+                dpy_bb = _corner_dot(a6_bc, col(b, _C_GYTCB))
+                R_u_bb = -s(b, _CONV_BB) - dpx_bb + nu_b * s(b, _LAPU_BB)
+                R_v_bb = -s(b, _CONVV_BB) - dpy_bb + nu_b * s(b, _LAPV_BB)
+                acc_u = (acc_u + jnp.sum(R_u_cb * R_u_cb)
+                         + jnp.sum(R_u_bc * R_u_bc) + R_u_bb * R_u_bb)
+                acc_v = (acc_v + jnp.sum(R_v_cb * R_v_cb)
+                         + jnp.sum(R_v_bc * R_v_bc) + R_v_bb * R_v_bb)
+                out.append((jnp.sqrt(acc_u), jnp.sqrt(acc_v),
+                            jnp.sqrt(acc_p)))
+            return (tuple(o[0] for o in out), tuple(o[1] for o in out),
+                    tuple(o[2] for o in out))
+
+        def metrics_pass():
+            """Per-lane conserved quantities: core quadratures + exact
+            border strips — the B=1 aligned metrics_pass, with the right
+            dots batched across lanes."""
+            u_c = eng.cache(su[:])
+            v_c = eng.cache(sv[:])
+            DUY = eng.right(u_c, "DyT")     # batched
+            RCU = eng.right(u_c, "RCOLS")   # batched (om column strips)
+            OM = jnp.concatenate(
+                [eng.left("Dx", v_c, rows=lane(b))
+                 - (DUY[lane(b), :] + cu2[lane(b), 0:nc])
+                 for b in range(B)], axis=0)
+            om_c = eng.cache(OM)
+            DWY = eng.right(om_c, "DyT")    # batched
+            RCW = eng.right(om_c, "RCOLS")  # batched (dwy column strips)
+            es, zs, ps = [], [], []
+            for b in range(B):
+                r = lane(b)
+                u_b = su[r, :]
+                v_b = sv[r, :]
+                om = OM[r, :]
+                om_cb = col(b, _C_DVDX) - (RCU[r, 0:1]
+                                           + col(b, _C_UCOL) * s(b, _DYT_BB))
+                om_bc = eng.left("LROWS", v_c, rows=r)[0:1, :] + row(b, _R_OM)
+                om_bb = s(b, _OM_BB)
+                energy = 0.5 * jnp.sum(w2d * (u_b * u_b + v_b * v_b)) \
+                    + s(b, _E_BORD)
+                enstrophy = 0.5 * (
+                    jnp.sum(w2d * om * om)
+                    + jnp.sum(col(b, _C_WCOL) * om_cb * om_cb)
+                    + jnp.sum(row(b, _R_WROW) * om_bc * om_bc)
+                    + s(b, _WBB) * om_bb * om_bb)
+                dwx = eng.left("Dx", om_c, rows=r) + col(b, _C_DXCB) * om_bc
+                dwy = DWY[r, :] + om_cb * row(b, _R_DYTBC)
+                pal = jnp.sum(w2d * (dwx * dwx + dwy * dwy))
+                omcb_c = eng.cache(om_cb)
+                ombc_c = eng.cache(om_bc)
+                dwx_cb = eng.left("Dx", omcb_c) + col(b, _C_DXCB) * om_bb
+                dwy_cb = RCW[r, 0:1] + om_cb * s(b, _DYT_BB)
+                dwx_bc = eng.left("LROWS", om_c, rows=r)[0:1, :] \
+                    + s(b, _DX_BB) * om_bc
+                dwy_bc = eng.right(ombc_c, "DyT") + om_bb * row(b, _R_DYTBC)
+                dwx_bb = _corner_dot(eng_lrow_dx(), om_cb) \
+                    + s(b, _DX_BB) * om_bb
+                dwy_bb = _corner_dot(om_bc, col(b, _C_DYTCB)) \
+                    + om_bb * s(b, _DYT_BB)
+                pal = pal + jnp.sum(col(b, _C_WCOL) * (dwx_cb * dwx_cb
+                                                       + dwy_cb * dwy_cb)) \
+                    + jnp.sum(row(b, _R_WROW) * (dwx_bc * dwx_bc
+                                                 + dwy_bc * dwy_bc)) \
+                    + s(b, _WBB) * (dwx_bb * dwx_bb + dwy_bb * dwy_bb)
+                es.append(energy)
+                zs.append(enstrophy)
+                ps.append(0.5 * pal)
+            return tuple(es), tuple(zs), tuple(ps)
+
+        def loop_body(i, carry):
+            done_t, conv_t, e_t, z_t, pl_t, ru_t, rv_t, rp_t = carry
+            idx = start_iter + i
+
+            su[:] = u_out[:]
+            sv[:] = v_out[:]
+            sp[:] = p_out[:]
+
+            # per-lane full-grid prev norms (core + constant border mass)
+            # and CFL dt — identical math to the B=1 aligned kernel
+            prev_u, prev_v, adts = [], [], []
+            for b in range(B):
+                r = lane(b)
+                ub = su[r, :]
+                vb = sv[r, :]
+                prev_u.append(jnp.sqrt(jnp.sum(ub * ub) + s(b, _UBORD_SQ)))
+                prev_v.append(jnp.sqrt(jnp.sum(vb * vb) + s(b, _VBORD_SQ)))
+                beta_b = s(b, _BETA)
+                u_max = jnp.maximum(jnp.max(jnp.abs(ub)), s(b, _LID))
+                v_max = jnp.maximum(jnp.max(jnp.abs(vb)), 1e-10)
+                lam_x = ((u_max + jnp.sqrt(u_max * u_max + beta_b))
+                         * s(b, _IDX) + s(b, _NU) * s(b, _IDX) * s(b, _IDX))
+                lam_y = ((v_max + jnp.sqrt(v_max * v_max + beta_b))
+                         * s(b, _IDY) + s(b, _NU) * s(b, _IDY) * s(b, _IDY))
+                adts.append(s(b, _CFL) / (lam_x + lam_y))
+
+            stage_out = None
+            for k, alpha in enumerate(_RK4_ALPHAS):
+                stage_out = run_stage([a * alpha for a in adts],
+                                      accumulate=(k == len(_RK4_ALPHAS) - 1))
+
+            if metrics_every == 1:
+                ru_t, rv_t, rp_t = res_pass(stage_out)
+                e_t, z_t, pl_t = metrics_pass()
+            else:
+                on_cadence = idx % jnp.int32(metrics_every) == 0
+                ru_t, rv_t, rp_t = jax.lax.cond(
+                    on_cadence, lambda: res_pass(stage_out),
+                    lambda: (ru_t, rv_t, rp_t))
+                e_t, z_t, pl_t = jax.lax.cond(
+                    on_cadence, metrics_pass, lambda: (e_t, z_t, pl_t))
+
+            nan = jnp.float32(jnp.nan)
+            lane_octets = []
+            new_done, new_conv = [], []
+            for b in range(B):
+                r = lane(b)
+                done_b = done_t[b] > 0
+                du = jnp.sqrt(jnp.sum((su[r, :] - u_out[r, :]) ** 2))
+                dv = jnp.sqrt(jnp.sum((sv[r, :] - v_out[r, :]) ** 2))
+                rel = jnp.maximum(du / (prev_u[b] + 1e-12),
+                                  dv / (prev_v[b] + 1e-12))
+                vals = (rel, ru_t[b], rv_t[b], rp_t[b],
+                        e_t[b], z_t[b], pl_t[b], jnp.float32(0.0))
+                octet = jnp.stack(
+                    [jnp.where(done_b, nan, v) for v in vals]).reshape(1, 8)
+                lane_octets.append(octet)
+
+                finite = jnp.isfinite(rel)
+                newly_conv = (idx >= warmup) & (rel < tolerance) & finite
+                newly_div = ~finite & ~done_b
+                now_done = done_b | newly_conv | newly_div
+                new_conv.append(jnp.where(~done_b & now_done, idx + 1,
+                                          conv_t[b]))
+                new_done.append(now_done.astype(jnp.int32))
+
+                @pl.when(jnp.logical_not(done_b))
+                def _commit(r=r):
+                    u_out[r, :] = su[r, :]
+                    v_out[r, :] = sv[r, :]
+                    p_out[r, :] = sp[r, :]
+
+            if RW > 8 * B:
+                lane_octets.append(jnp.zeros((1, RW - 8 * B), f32))
+            rows_out[pl.ds(i, 1), :] = jnp.concatenate(lane_octets, axis=1)
+            return (tuple(new_done), tuple(new_conv), e_t, z_t, pl_t,
+                    ru_t, rv_t, rp_t)
+
+        zero_t = tuple(jnp.float32(0) for _ in range(B))
+        init = (tuple(jnp.int32(0) for _ in range(B)),
+                tuple(jnp.int32(-1) for _ in range(B)),
+                zero_t, zero_t, zero_t, zero_t, zero_t, zero_t)
+        # int32 bounds: see ops/pallas_aligned.py (Mosaic int promotion)
+        done_t, conv_t, *_rest = jax.lax.fori_loop(
+            jnp.int32(0), jnp.int32(chunk), loop_body, init)
+        for b in range(B):
+            state_out[0, b] = done_t[b]
+            state_out[0, B + b] = conv_t[b]
+
+    vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    call = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((BN, nc), f32),
+            jax.ShapeDtypeStruct((BN, nc), f32),
+            jax.ShapeDtypeStruct((BN, nc), f32),
+            jax.ShapeDtypeStruct((chunk, RW), f32),
+            jax.ShapeDtypeStruct((1, 2 * B), jnp.int32),
+        ),
+        in_specs=[vmem() for _ in range(n_mats + 3 + 3)]
+        + [pl.BlockSpec((B, _N_SCAL), memory_space=pltpu.SMEM),
+           pl.BlockSpec((1, 1), memory_space=pltpu.SMEM)],
+        out_specs=(vmem(), vmem(), vmem(), vmem(),
+                   pl.BlockSpec(memory_space=pltpu.SMEM)),
+        scratch_shapes=[pltpu.VMEM((BN, nc), f32) for _ in range(3)],
+        input_output_aliases={n_mats + 3: 0, n_mats + 4: 1, n_mats + 5: 2},
+        # the B-lane working set scales past the default ~16 MB scoped
+        # budget well before physical VMEM (128 MB on v5e) runs out
+        compiler_params=(pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2**20) if not interpret else None),
+        interpret=interpret,
+    )
+    mat_list = [mats[k] for k in mat_names]
+    bord_u = jnp.stack([jnp.asarray(np.asarray(o.bc_u, np.float32))
+                        for o in ops_list])
+    bord_v = jnp.stack([jnp.asarray(np.asarray(o.bc_v, np.float32))
+                        for o in ops_list])
+
+    @jax.jit
+    def chunk_fn(states: SpectralState, start_iter):
+        # (B, nf, nf) -> row-stacked (B*nc, nc) cores
+        u = states.u.astype(f32)[:, :nc, :nc].reshape(BN, nc)
+        v = states.v.astype(f32)[:, :nc, :nc].reshape(BN, nc)
+        p = jnp.zeros((B, nc, nc), f32).at[:, 1:ni + 1, 1:ni + 1].set(
+            states.p.astype(f32)).reshape(BN, nc)
+        iscal = jnp.asarray(start_iter, jnp.int32).reshape(1, 1)
+        u, v, p, rows, flags = call(*mat_list, CU2, CCOL, CROW,
+                                    u, v, p, scal, iscal)
+        # reassemble full grids: borders are the per-lane BC constants
+        u_full = bord_u.at[:, :nc, :nc].set(u.reshape(B, nc, nc))
+        v_full = bord_v.at[:, :nc, :nc].set(v.reshape(B, nc, nc))
+        new_states = SpectralState(
+            u=u_full, v=v_full,
+            p=p.reshape(B, nc, nc)[:, 1:ni + 1, 1:ni + 1])
+        done = flags[0, :B] > 0
+        conv_iter = flags[0, B:]
+        rows_b = jnp.stack(
+            [rows[:, b * 8: b * 8 + N_COLS] for b in range(B)], axis=1)
+        conv_row = jnp.maximum(conv_iter - 1 - start_iter, 0)
+        ever_conv = done & jnp.isfinite(
+            rows_b[conv_row, jnp.arange(B), 0])
+        return new_states, done, conv_iter, ever_conv, rows_b
+
+    return chunk_fn

@@ -63,6 +63,48 @@ def _enable_compile_cache():
     enable_compile_cache(Path(__file__).resolve().parent / ".jax_cache")
 
 
+# bf16 MXU peak TFLOP/s by device kind (first substring match wins).
+_PEAK_BF16_TFLOPS = (
+    ("v5 lite", 197.0), ("v5e", 197.0), ("v5p", 459.0),
+    ("v6", 918.0), ("trillium", 918.0), ("v4", 275.0), ("v3", 123.0),
+)
+
+
+def _peak_tflops(device_str: str) -> float | None:
+    d = device_str.lower()
+    for key, peak in _PEAK_BF16_TFLOPS:
+        if key in d:
+            return peak
+    return None
+
+
+def _roofline(n: int, steps_per_sec: float, lanes: int = 1,
+              algorithm: str = "x3") -> dict:
+    """Achieved TFLOP/s and model-FLOPs utilization for a spectral stage.
+
+    FLOP model (per RK4 step, per lane, aligned bordered-core kernel):
+    each stage runs 3 left dots of 2N*N*N MACs (DX2/PX2 stacks), 2 right
+    dots of N*N*2N (DY2), and 2 pressure-gradient dots of N^3 — 12 N^3
+    MACs/stage, 48 N^3 per step (decimated metrics/residual strips add
+    <1% at metrics_every=8 and are excluded). ``useful`` counts logical
+    f32 math; ``mxu`` counts the bf16 passes the x3 decomposition issues
+    (3 per logical dot). MFU is mxu vs the device's bf16 peak — the gap
+    that remains IS the optimization headroom (VPU elementwise, loop
+    state machine, issue overhead).
+    """
+    import jax
+
+    macs = 48.0 * n ** 3 * lanes * steps_per_sec
+    useful = 2.0 * macs / 1e12
+    mult = 3.0 if algorithm == "x3" else 6.0
+    out = {"tflops_useful": round(useful, 2),
+           "tflops_mxu": round(useful * mult, 2)}
+    peak = _peak_tflops(str(jax.devices()[0]))
+    if peak:
+        out["mfu_pct"] = round(100.0 * useful * mult / peak, 1)
+    return out
+
+
 def bench_device() -> tuple[float, dict]:
     import jax
     import jax.numpy as jnp
@@ -98,8 +140,11 @@ def bench_device() -> tuple[float, dict]:
         from anap3_tpu.ops.pallas_tiled import make_tiled_chunk_runner
 
         if aligned_supported(N):
+            # metrics_every=8 matches the production tier selection
+            # (models/spectral.py ALIGNED_METRICS_EVERY)
             runner = make_aligned_chunk_runner(ops, STEPS_PER_CALL, 1e-12,
-                                               10, algorithm="x3")
+                                               10, algorithm="x3",
+                                               metrics_every=8)
         else:
             step_kind = "pallas-tiled-x3-chunk"
             runner = make_tiled_chunk_runner(ops, STEPS_PER_CALL, 1e-12, 10,
@@ -152,6 +197,7 @@ def bench_device() -> tuple[float, dict]:
         "compile_seconds": round(compile_s, 2),
         "steps_timed": steps,
         "final_u_finite": bool(np.isfinite(np.asarray(state.u)).all()),
+        **{k: v for k, v in _roofline(N, rate).items()},
     }
     return rate, extras
 
@@ -221,16 +267,20 @@ def bench_numpy_reference(max_steps: int = 30) -> float:
 
 def bench_lanes() -> dict:
     """Aggregate sweep throughput: B lanes of N=128 in ONE lane-batched
-    Pallas program (ops/pallas_lanes.py — the production multirun path for
-    fused-kernel-eligible sweep groups, main.run_multirun_batched)."""
+    Pallas program — the production multirun path for fused-kernel-eligible
+    sweep groups (main.run_multirun_batched). Round 4 dispatches the
+    lane-batched ALIGNED bordered-core kernel (ops/pallas_lanes_aligned.py,
+    metrics_every=8, matching maybe_lane_runner's production selection);
+    the padded tiled lane kernel is the fallback."""
     import jax
     import jax.numpy as jnp
 
     from anap3_tpu.models.params import SpectralParameters
     from anap3_tpu.models import spectral_sg as core
     from anap3_tpu.ops import pallas_lanes as PL
+    from anap3_tpu.ops import pallas_lanes_aligned as PLA
 
-    B = PL.suggest_lane_count(N, 8)
+    B = PLA.suggest_aligned_lane_count(N, 8)
     Res = np.linspace(400.0, 1100.0, B)
     ops_list = []
     states = []
@@ -246,7 +296,13 @@ def bench_lanes() -> dict:
     batched = jax.tree.map(lambda *a: jnp.stack(a), *states)
 
     CHUNK = 2000
-    runner = PL.make_lane_chunk_runner(ops_list, CHUNK, 1e-12, 10)
+    if PLA.aligned_lanes_supported(ops_list):
+        lane_kind = "pallas-lanes-aligned-x3"
+        runner = PLA.make_aligned_lane_runner(ops_list, CHUNK, 1e-12, 10,
+                                              metrics_every=8)
+    else:
+        lane_kind = "pallas-lanes-tiled-x3"
+        runner = PL.make_lane_chunk_runner(ops_list, CHUNK, 1e-12, 10)
     # First call compiles the B-lane Mosaic program; through this image's
     # remote-compile tunnel that can take seconds (cached) to tens of
     # minutes (cold tunnel under load, measured 2026-08-19). Run it on a
@@ -274,26 +330,36 @@ def bench_lanes() -> dict:
     out = box["out"]
     compile_s = time.time() - t0
 
+    # >= 10 s timed window (VERDICT r3: a 4 s window left the lane number
+    # arguable as measurement noise) with a recorded sync cadence so runs
+    # with different cadences are never compared as equivalent.
+    SYNC_EVERY = 4
     s, it = out[0], CHUNK
     t0 = time.time()
     n_chunks = 0
-    while time.time() - t0 < 4.0:
+    while time.time() - t0 < 10.0:
         out = runner(s, jnp.asarray(it, jnp.int32))
         s, it = out[0], it + CHUNK
         n_chunks += 1
         # Bound the dispatch queue: a lane chunk takes O(100ms) of device
-        # time while dispatch costs ~1ms, so an unsynced 4s loop enqueues
+        # time while dispatch costs ~1ms, so an unsynced loop enqueues
         # a backlog the final sync then drains for tens of minutes
         # (observed 2026-08-19: bench wedged >18 min at this stage).
-        if n_chunks % 4 == 0:
+        if n_chunks % SYNC_EVERY == 0:
             _sync(s.u)
     _sync(s.u)
     wall = time.time() - t0
     rate = B * n_chunks * CHUNK / wall
     return {
         f"sweep_lane_steps_per_sec_N{N}_B{B}": round(rate, 1),
+        "sweep_lane_kind": lane_kind,
+        "sweep_lane_per_lane_steps_per_sec": round(rate / B, 1),
+        "sweep_lane_window_seconds": round(wall, 1),
+        "sweep_lane_sync_every_chunks": SYNC_EVERY,
         "sweep_lane_compile_seconds": round(compile_s, 2),
         "sweep_lanes_finite": bool(np.isfinite(np.asarray(s.u)).all()),
+        **{"sweep_lane_" + k: v
+           for k, v in _roofline(N, rate / B, lanes=B).items()},
     }
 
 
@@ -420,11 +486,14 @@ def bench_stretch(n: int = 256) -> dict:
             _sync(state.u)
     _sync(state.u)
     rate = n_calls * CH / (time.time() - t0)
-    return {
+    out = {
         f"spectral_N{n}_steps_per_sec": round(rate, 1),
-        f"spectral_N{n}_vs_r1_xla": round(rate / 6792.0, 2),
         f"spectral_N{n}_compile_seconds": round(compile_s, 2),
+        **{f"spectral_N{n}_" + k: v for k, v in _roofline(n, rate).items()},
     }
+    if n == 256:
+        out[f"spectral_N{n}_vs_r1_xla"] = round(rate / 6792.0, 2)
+    return out
 
 
 def _device_available(timeout_s: int = 600) -> bool:
@@ -491,11 +560,14 @@ def main():
         fv_extras = bench_fv()
     except Exception as exc:  # FV bench must not kill the primary metric
         fv_extras = {"fv_error": repr(exc)[:200]}
-    _stage("stretch N=256")
-    try:
-        fv_extras.update(bench_stretch())
-    except Exception as exc:
-        fv_extras["stretch_error"] = repr(exc)[:200]
+    # stretch + the other aligned-tier sizes the product recommends
+    # (VERDICT r3 #2: the fast tier must not exist only at benchmark sizes)
+    for n_extra in (192, 256, 320):
+        _stage(f"stretch N={n_extra}")
+        try:
+            fv_extras.update(bench_stretch(n_extra))
+        except Exception as exc:
+            fv_extras[f"stretch_N{n_extra}_error"] = repr(exc)[:200]
     _stage("lane-batched sweep")
     try:
         fv_extras.update(bench_lanes())

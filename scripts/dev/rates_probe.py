@@ -1,0 +1,123 @@
+"""Parametrized kernel-throughput probe (consolidates the round-2/3
+aligned/lanes/tiled/pallas probe family — findings recorded in STATUS.md
+"Performance" and BENCH_r*.json).
+
+Usage:
+    python scripts/dev/rates_probe.py --kind aligned --n 128
+    python scripts/dev/rates_probe.py --kind lanes-aligned --n 128 --b 8
+    python scripts/dev/rates_probe.py --kind tiled --n 192 --seconds 10
+
+Kinds: aligned | tiled | lanes | lanes-aligned | xla. Prints steps/s (per
+lane and aggregate for lane kinds) after a warmup-compile call; uses the
+persistent compile cache.
+"""
+import argparse
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from anap3_tpu.utils.compile_cache import enable_compile_cache
+
+enable_compile_cache(Path(__file__).resolve().parents[2] / ".jax_cache")
+
+from anap3_tpu.models.params import SpectralParameters
+from anap3_tpu.models import spectral_sg as core
+
+
+def build(n, Re, corner="smoothing"):
+    p = SpectralParameters(
+        name="spectral", Re=float(Re), nx=n, ny=n, basis_type="chebyshev",
+        CFL=1.5, beta_squared=5.0, corner_treatment=corner,
+        corner_smoothing=0.15, dtype="float32")
+    ops, _ = core.build_spectral_ops(p)
+    return ops, core.initial_state(ops)
+
+
+def sync(x):
+    return float(jnp.sum(jnp.where(jnp.isfinite(x), x, 0.0)))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--kind", default="aligned",
+                    choices=["aligned", "tiled", "lanes", "lanes-aligned",
+                             "xla"])
+    ap.add_argument("--n", type=int, default=128)
+    ap.add_argument("--b", type=int, default=8)
+    ap.add_argument("--re", type=float, default=1000.0)
+    ap.add_argument("--corner", default="smoothing")
+    ap.add_argument("--chunk", type=int, default=2000)
+    ap.add_argument("--seconds", type=float, default=6.0)
+    ap.add_argument("--metrics-every", type=int, default=8)
+    a = ap.parse_args()
+
+    lanes = a.kind.startswith("lanes")
+    B = a.b if lanes else 1
+    if lanes:
+        Res = np.linspace(400.0, 1100.0, B)
+        pairs = [build(a.n, r, a.corner) for r in Res]
+        ops_list = [p[0] for p in pairs]
+        state = jax.tree.map(lambda *x: jnp.stack(x),
+                             *[p[1] for p in pairs])
+        if a.kind == "lanes-aligned":
+            from anap3_tpu.ops.pallas_lanes_aligned import \
+                make_aligned_lane_runner
+            run = make_aligned_lane_runner(ops_list, a.chunk, 1e-12, 10,
+                                           metrics_every=a.metrics_every)
+        else:
+            from anap3_tpu.ops.pallas_lanes import make_lane_chunk_runner
+            run = make_lane_chunk_runner(ops_list, a.chunk, 1e-12, 10)
+        call = lambda s, it: run(s, jnp.int32(it))[0]
+    else:
+        ops, state = build(a.n, a.re, a.corner)
+        if a.kind == "aligned":
+            from anap3_tpu.ops.pallas_aligned import \
+                make_aligned_chunk_runner
+            run = make_aligned_chunk_runner(ops, a.chunk, 1e-12, 10,
+                                            metrics_every=a.metrics_every)
+        elif a.kind == "tiled":
+            from anap3_tpu.ops.pallas_tiled import make_tiled_chunk_runner
+            run = make_tiled_chunk_runner(ops, a.chunk, 1e-12, 10,
+                                          metrics_every=a.metrics_every)
+        else:  # xla
+            @jax.jit
+            def run(s, it, ref):
+                def body(st, _):
+                    st, _m = core.sg_step(ops, st)
+                    return st, ()
+                s, _ = jax.lax.scan(body, s, None, length=a.chunk)
+                return (s,)
+        call = lambda s, it: run(s, jnp.int32(it), jnp.float32(np.inf))[0]
+
+    print(f"kind={a.kind} N={a.n} B={B} chunk={a.chunk} "
+          f"metrics_every={a.metrics_every} device={jax.devices()[0]}",
+          flush=True)
+    t0 = time.time()
+    state = call(state, 0)
+    sync(state.u)
+    print(f"compile+first chunk: {time.time() - t0:.1f}s", flush=True)
+    it, n_chunks = a.chunk, 0
+    t0 = time.time()
+    while time.time() - t0 < a.seconds:
+        state = call(state, it)
+        it += a.chunk
+        n_chunks += 1
+        if n_chunks % 4 == 0:
+            sync(state.u)
+    sync(state.u)
+    wall = time.time() - t0
+    rate = n_chunks * a.chunk / wall
+    agg = rate * B
+    print(f"per-lane {rate:,.0f} steps/s | aggregate {agg:,.0f} "
+          f"lane-steps/s | finite={bool(jnp.isfinite(state.u).all())}",
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()

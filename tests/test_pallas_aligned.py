@@ -30,13 +30,20 @@ class TestSupport:
     def test_aligned_supported(self):
         assert aligned_supported(128)
         assert aligned_supported(256)
-        assert not aligned_supported(129)
-        assert not aligned_supported(96)
+        # generalized tier (round 4): any sublane-aligned core up to 320
+        assert aligned_supported(96)
+        assert aligned_supported(192)
+        assert aligned_supported(320)
+        assert not aligned_supported(129)  # core not sublane-aligned
+        assert not aligned_supported(24)   # below the tier floor
         assert not aligned_supported(384)  # VMEM ceiling
+        # singular mode keeps the proven N=256 ceiling
+        assert aligned_supported(256, singular=True)
+        assert not aligned_supported(320, singular=True)
 
     def test_rejects_unsupported_order(self):
-        with pytest.raises(ValueError, match="N % 128"):
-            make_aligned_chunk_runner(mk_ops(n=96), 4, 1e-6, 10,
+        with pytest.raises(ValueError, match="N % 8"):
+            make_aligned_chunk_runner(mk_ops(n=92), 4, 1e-6, 10,
                                       interpret=True)
 
     def test_fused_paths_selects_aligned_tier(self):
@@ -81,6 +88,44 @@ class TestParity:
         np.testing.assert_array_equal(au[-1, :-1], 0.0)
         np.testing.assert_array_equal(np.asarray(as_.v)[-1, :], 0.0)
 
+    def test_generalized_size_matches_tiled(self):
+        """N=96 (the north-star size): core is NOT a 128 multiple —
+        exercises the size-generic decomposition (round 4)."""
+        ops = mk_ops(Re=400.0, n=96)
+        st = core.initial_state(ops)
+        ref = make_tiled_chunk_runner(ops, 2, 1e-30, 10, interpret=True)
+        ali = make_aligned_chunk_runner(ops, 2, 1e-30, 10, interpret=True)
+        rs, *_r = ref(st, jnp.int32(0), jnp.float32(np.inf))
+        as_, *_a = ali(st, jnp.int32(0), jnp.float32(np.inf))
+        np.testing.assert_allclose(np.asarray(as_.u), np.asarray(rs.u),
+                                   rtol=2e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(as_.v), np.asarray(rs.v),
+                                   rtol=2e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(_a[-2]), np.asarray(_r[-2]),
+                                   rtol=2e-4)  # all metric rows
+
+    def test_decimated_residual_norms_hold(self):
+        """metrics_every > 1: residual-norm columns are sampled on the
+        metrics cadence (held in between); the rel column stays fresh."""
+        ops = mk_ops(Re=400.0, n=96)
+        st = core.initial_state(ops)
+        a1 = make_aligned_chunk_runner(ops, 6, 1e-30, 10, interpret=True,
+                                       metrics_every=1)
+        a3 = make_aligned_chunk_runner(ops, 6, 1e-30, 10, interpret=True,
+                                       metrics_every=3)
+        *_1, rows1, _ = a1(st, jnp.int32(0), jnp.float32(np.inf))
+        *_3, rows3, _ = a3(st, jnp.int32(0), jnp.float32(np.inf))
+        R1, R3 = np.asarray(rows1), np.asarray(rows3)
+        # rel_iter column is computed every step in both
+        np.testing.assert_array_equal(R1[:, 0], R3[:, 0])
+        # sampled steps (idx % 3 == 0) match the every-step kernel
+        np.testing.assert_array_equal(R1[[0, 3], 1:4], R3[[0, 3], 1:4])
+        # in-between steps hold the last sampled values
+        for i in (1, 2):
+            np.testing.assert_array_equal(R3[i, 1:4], R3[0, 1:4])
+        for i in (4, 5):
+            np.testing.assert_array_equal(R3[i, 1:4], R3[3, 1:4])
+
     @pytest.mark.slow
     def test_sharp_lid_parity(self):
         """corner_treatment=none puts a nonzero value at the lid corner
@@ -122,6 +167,22 @@ class TestParity:
                                       np.asarray(ops.bc_u)[-1, :])
         np.testing.assert_array_equal(np.asarray(as_.v)[:, -1],
                                       np.asarray(ops.bc_v)[:, -1])
+
+    def test_singular_generalized_size_matches_tiled(self):
+        """Singular constants at N=96 (non-128-multiple core): the
+        generalized singular border completions stay exact."""
+        ops = mk_ops(Re=1000.0, n=96, corner_treatment="singular")
+        st = core.initial_state(ops)
+        ref = make_tiled_chunk_runner(ops, 2, 1e-30, 10, interpret=True)
+        ali = make_aligned_chunk_runner(ops, 2, 1e-30, 10, interpret=True)
+        rs, *_r = ref(st, jnp.int32(0), jnp.float32(np.inf))
+        as_, *_a = ali(st, jnp.int32(0), jnp.float32(np.inf))
+        np.testing.assert_allclose(np.asarray(as_.u), np.asarray(rs.u),
+                                   rtol=2e-5, atol=2e-6)
+        np.testing.assert_allclose(np.asarray(as_.v), np.asarray(rs.v),
+                                   rtol=2e-5, atol=2e-6)
+        np.testing.assert_allclose(np.asarray(_a[-2]), np.asarray(_r[-2]),
+                                   rtol=5e-4)
 
     def test_fused_paths_selects_aligned_for_singular(self):
         from anap3_tpu.models.spectral import make_fused_paths

@@ -93,29 +93,31 @@ class TestSingularOps:
         np.testing.assert_allclose(np.asarray(ops.sing_u), S["u"])
 
     def test_fused_paths_singular_tier_dispatch(self):
-        """Singular mode routes aligned sizes (N in {128, 256}) to the
-        bordered-core aligned kernel and every other fused size to the
-        tiled kernels; the untiled whole-step kernel (zero/lid-only
-        borders) is never selected."""
+        """Singular mode routes aligned sizes (N % 8 == 0 up to 256) to
+        the bordered-core aligned kernel and everything above its singular
+        VMEM ceiling to the tiled kernels; the untiled whole-step kernel
+        (zero/lid-only borders) is never selected."""
         from anap3_tpu.models.spectral import make_fused_paths
 
-        p = SpectralParameters(Re=100.0, nx=128, ny=128, dtype="float32",
-                               corner_treatment="singular")
-        ops, _ = core.build_spectral_ops(p, dtype=jnp.float32)
-        step, factory = make_fused_paths(ops, p, 1e-6)
-        assert factory is not None
-        names = factory.__code__.co_names + factory.__code__.co_freevars
-        assert "make_aligned_chunk_runner" in names
-        assert "make_pallas_chunk_runner" not in names
+        for n in (96, 128):
+            p = SpectralParameters(Re=100.0, nx=n, ny=n, dtype="float32",
+                                   corner_treatment="singular")
+            ops, _ = core.build_spectral_ops(p, dtype=jnp.float32)
+            step, factory = make_fused_paths(ops, p, 1e-6)
+            assert factory is not None
+            names = factory.__code__.co_names + factory.__code__.co_freevars
+            assert "make_aligned_chunk_runner" in names
+            assert "make_pallas_chunk_runner" not in names
 
-        p96 = SpectralParameters(Re=100.0, nx=96, ny=96, dtype="float32",
-                                 corner_treatment="singular")
-        ops96, _ = core.build_spectral_ops(p96, dtype=jnp.float32)
-        step96, factory96 = make_fused_paths(ops96, p96, 1e-6)
-        assert factory96 is not None
-        names96 = factory96.__code__.co_names + factory96.__code__.co_freevars
-        assert "make_tiled_chunk_runner" in names96
-        assert "make_aligned_chunk_runner" not in names96
+        p320 = SpectralParameters(Re=100.0, nx=320, ny=320, dtype="float32",
+                                  corner_treatment="singular")
+        ops320, _ = core.build_spectral_ops(p320, dtype=jnp.float32)
+        step320, factory320 = make_fused_paths(ops320, p320, 1e-6)
+        assert factory320 is not None
+        names320 = (factory320.__code__.co_names
+                    + factory320.__code__.co_freevars)
+        assert "make_tiled_chunk_runner" in names320
+        assert "make_aligned_chunk_runner" not in names320
 
     def test_cold_start_floor(self):
         """Calibrated against the measured rest-start brackets:
@@ -161,8 +163,9 @@ class TestChunkCap:
         from anap3_tpu.models.spectral import (effective_chunk,
                                                make_fused_paths)
 
-        # N=224 singular routes to the TILED tier (not 128-aligned): capped
-        p = SpectralParameters(Re=1000.0, nx=224, ny=224, dtype="float32",
+        # N=288 singular routes to the TILED tier (above the aligned
+        # kernel's singular VMEM ceiling of 256): capped
+        p = SpectralParameters(Re=1000.0, nx=288, ny=288, dtype="float32",
                                corner_treatment="singular")
         ops, _ = core.build_spectral_ops(p, dtype=jnp.float32)
         _, factory = make_fused_paths(ops, p, 1e-6)

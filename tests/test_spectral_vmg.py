@@ -185,6 +185,45 @@ class TestVCycle:
         assert vmg.metrics.psi_min == pytest.approx(sg.metrics.psi_min,
                                                     abs=5e-4)
 
+    def test_cold_start_prelude_above_ceiling(self, monkeypatch, caplog):
+        """Above VMG_COLD_START_MAX_N a rest-started solve warm-starts
+        itself with the nested-iteration cascade (round 4; previously it
+        only warned) and still converges to the SG steady state."""
+        import logging
+
+        from anap3_tpu.models import spectral_vmg as vmgmod
+
+        monkeypatch.setattr(vmgmod, "VMG_COLD_START_MAX_N", 12)
+        vmg = VMGSolver(params=make_params())
+        with caplog.at_level(logging.INFO, logger=vmgmod.__name__):
+            vmg.solve()
+        assert any("warm-starting from the nested-iteration cascade"
+                   in r.message for r in caplog.records)
+        assert any("warm-start prelude done" in r.message
+                   for r in caplog.records)
+        assert vmg.metrics.converged
+        sg = SGSolver(params=make_params(name="spectral", tolerance=1e-6,
+                                         max_iterations=60000,
+                                         chunk_size=500))
+        sg.solve()
+        np.testing.assert_allclose(np.asarray(vmg.state.u),
+                                   np.asarray(sg.state.u), atol=2e-3)
+
+    def test_warm_started_state_skips_prelude(self, monkeypatch, caplog):
+        """A non-rest initial state must go straight to V-cycles."""
+        import logging
+
+        from anap3_tpu.models import spectral_vmg as vmgmod
+
+        monkeypatch.setattr(vmgmod, "VMG_COLD_START_MAX_N", 12)
+        vmg = VMGSolver(params=make_params(max_iterations=40))
+        vmg.state = vmg.state._replace(
+            v=vmg.state.v.at[5, 5].set(1e-3))
+        with caplog.at_level(logging.INFO, logger=vmgmod.__name__):
+            vmg.solve()
+        assert not any("nested-iteration cascade" in r.message
+                       for r in caplog.records)
+
     def test_vmg_cheaper_than_sg(self):
         """Fine-grid-equivalent work must be far below single-grid."""
         vmg = VMGSolver(params=make_params())
