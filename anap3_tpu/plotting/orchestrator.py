@@ -8,7 +8,8 @@ from typing import Optional
 
 from .convergence import plot_convergence
 from .data_loading import load_fields_from_vts
-from .fields import generate_field_plots, plot_vorticity
+from .fields import plot_vorticity
+from .pyvista_render import generate_field_plots_auto
 from .tracking_utils import (
     artifact_dir_for_run,
     find_sibling_runs,
@@ -51,7 +52,10 @@ def generate_plots_for_run(
         [{"run_id": run_id, "N": N, "Re": Re, "solver": solver_name,
           "status": "FINISHED"}],
         tracking_uri, output_dir, data_dir=data_dir))
-    plots.extend(generate_field_plots(fields, output_dir).values())
+    # PyVista GPU renders when the library is importable; the matplotlib
+    # tier (same artifact names/pixel scale) otherwise — see
+    # plotting/pyvista_render.py
+    plots.extend(generate_field_plots_auto(fields, output_dir).values())
 
     plots = [p for p in plots if p is not None]
     if upload_to_tracking:

@@ -11,12 +11,15 @@ Prints wall time, iterations, energy, and the u/v L2 errors vs the stored
 FV truth when one exists for the Reynolds number.
 """
 import argparse
+import logging
 import sys
 import time
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parents[2]
 sys.path.insert(0, str(REPO))
+
+logging.basicConfig(level=logging.INFO)
 
 import jax
 

