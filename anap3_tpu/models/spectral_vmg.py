@@ -208,12 +208,19 @@ def build_fused_tau_steps(solver, levels) -> dict | None:
     """
     if not solver._pallas_enabled():
         return None
+    from ..ops.pallas_aligned import aligned_supported, make_aligned_tau_step
     from ..ops.pallas_tiled import make_tiled_sg_step
 
-    return {i: make_tiled_sg_step(
-                lv.ops, algorithm="x6", with_tau=True,
-                blk=32 if lv.n > _TAU_BLK_N else None)
-            for i, lv in enumerate(levels) if lv.n <= MAX_TAU_N}
+    def mk(lv):
+        # bordered-core x6 smoothing where the aligned tier covers the
+        # level (round 4): the padded tiled x6 stage dot at N=128 pays 12
+        # MXU tiles for ~2 of useful work — smoothing dominates cycle wall
+        if aligned_supported(lv.n, singular=lv.ops.sing_u is not None):
+            return make_aligned_tau_step(lv.ops, algorithm="x6")
+        return make_tiled_sg_step(lv.ops, algorithm="x6", with_tau=True,
+                                  blk=32 if lv.n > _TAU_BLK_N else None)
+
+    return {i: mk(lv) for i, lv in enumerate(levels) if lv.n <= MAX_TAU_N}
 
 
 def build_vmg_levels(params: SpectralParameters, n_fine: int | None = None,

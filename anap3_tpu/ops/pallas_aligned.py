@@ -61,8 +61,8 @@ from jax.experimental.pallas import tpu as pltpu
 from ..models.spectral_sg import SpectralOps, SpectralState
 from .pallas_tiled import _DotEngine, _RK4_ALPHAS, N_COLS
 
-__all__ = ["make_aligned_chunk_runner", "aligned_supported", "MAX_ALIGNED_N",
-           "MAX_ALIGNED_SINGULAR_N"]
+__all__ = ["make_aligned_chunk_runner", "make_aligned_tau_step",
+           "aligned_supported", "MAX_ALIGNED_N", "MAX_ALIGNED_SINGULAR_N"]
 
 # Size ceiling. The bordered-core decomposition is size-generic (every
 # border is a per-run constant at any N); the only real requirements are
@@ -673,3 +673,281 @@ def make_aligned_chunk_runner(ops: SpectralOps, chunk: int, tolerance: float,
         return new_state, done, conv_iter, converged, rows, rnorm[0, 0]
 
     return chunk_fn
+
+
+def make_aligned_tau_step(ops: SpectralOps, interpret: bool = False,
+                          algorithm: str = "x6"):
+    """FAS-forced single RK4 step on the bordered core — the drop-in for
+    ops.pallas_tiled.make_tiled_sg_step(with_tau=True) at aligned sizes.
+
+    V-cycle smoothing is the dominant VMG/FMG cost and runs at x6 (full
+    f32 accuracy: the FAS tau cancellation needs the smoother's residual
+    operator to match the XLA-HIGHEST defect operator — see
+    models/spectral_vmg.build_fused_tau_steps). On the padded tiled layout
+    an x6 stage dot at N=128 pays 12 MXU tiles for ~2 of useful work; the
+    bordered core removes that exactly as in the chunk kernel above.
+
+    Signature: ``step(state, (tau_u, tau_v, tau_p)) -> (state, metrics)``
+    with metrics keys u_eq/v_eq/continuity/energy/enstrophy/palinstrophy.
+    tau is added to every stage residual (core.sg_step's hook); the
+    residual norms include it. FAS tau is ZERO on the velocity boundary
+    ring by construction (make_v_cycle zeroes the defect there), so the
+    constant border strips of the residual norms are unchanged by tau.
+    Supports the singular constants exactly as the chunk kernel.
+    """
+    if algorithm not in ("x3", "x6"):
+        raise ValueError(f"unknown matmul algorithm {algorithm!r}")
+    mats, scal, nf, ni, nc = _prep_aligned(ops, algorithm)
+    f32 = jnp.float32
+    mat_names = list(mats)
+    n_mats = len(mat_names)
+
+    def kernel(*args):
+        refs = dict(zip(mat_names, args[:n_mats]))
+        (u_in, v_in, p_in, tu_ref, tv_ref, tp_ref, scal_ref,
+         u_out, v_out, p_out, metrics_out,
+         su, sv, sp, LU, LV, LP) = args[n_mats:]
+
+        eng = _DotEngine(algorithm, refs)
+        u_out[:] = u_in[:]
+        v_out[:] = v_in[:]
+        p_out[:] = p_in[:]
+
+        intr = refs["interior"][:]
+        w2d = refs["W2d"][:]
+        cu2 = refs["CU2"][:]
+        ccol = refs["CCOL"]
+        crow = refs["CROW"]
+        s = lambda i: scal_ref[0, i]
+        nu = s(_NU)
+        beta_sq = s(_BETA)
+        sing = "SU" in refs
+
+        def col(i):
+            return ccol[:, i:i + 1]
+
+        def row(i):
+            return crow[i:i + 1, :]
+
+        def eng_lrow_dx():
+            if eng.x3:
+                return (refs["LROWS_hi"][0:1, :].astype(f32)
+                        + refs["LROWS_lo"][0:1, :].astype(f32))
+            return refs["LROWS"][0:1, :]
+
+        su[:] = u_out[:]
+        sv[:] = v_out[:]
+        sp[:] = p_out[:]
+
+        # CFL dt (identical to the chunk kernel's adaptive_dt)
+        u_eff = su[:] + refs["SU"][:] if sing else su[:]
+        v_eff = sv[:] + refs["SV"][:] if sing else sv[:]
+        u_max = jnp.maximum(jnp.max(jnp.abs(u_eff)), s(_LID))
+        v_max = jnp.maximum(jnp.max(jnp.abs(v_eff)), 1e-10)
+        lam_x = (u_max + jnp.sqrt(u_max * u_max + beta_sq)) * s(_IDX) \
+            + nu * s(_IDX) * s(_IDX)
+        lam_y = (v_max + jnp.sqrt(v_max * v_max + beta_sq)) * s(_IDY) \
+            + nu * s(_IDY) * s(_IDY)
+        dt = s(_CFL) / (lam_x + lam_y)
+
+        def run_stage(adt, accumulate):
+            """Chunk-kernel stage + tau forcing (see make_aligned_chunk_
+            runner.run_stage — same dots, same border completions)."""
+            u_c = eng.cache(su[:])
+            v_c = eng.cache(sv[:])
+            p_c = eng.cache(sp[:])
+            LU[:] = eng.left("DX2", u_c)
+            LV[:] = eng.left("DX2", v_c)
+            if sing:
+                LU[:] = LU[:] + refs["CLU"][:]
+                LV[:] = LV[:] + refs["CLV"][:]
+            LP[:] = eng.left("PX2", p_c)
+            a5_c = eng.cache(LP[0:nc, :])
+            a6_c = eng.cache(LP[nc:2 * nc, :])
+            RU = eng.right(u_c, "DY2") + cu2
+            RV = eng.right(v_c, "DY2")
+            if sing:
+                RV = RV + refs["CV2"][:]
+            dpx = eng.right(a5_c, "IyT")
+            dpy = eng.right(a6_c, "GyT")
+            u_b = su[:]
+            v_b = sv[:]
+            du_dx = LU[0:nc, :]
+            dv_dx = LV[0:nc, :]
+            du_dy = RU[:, 0:nc]
+            dv_dy = RV[:, 0:nc]
+            lap_u = LU[nc:2 * nc, :] + RU[:, nc:2 * nc]
+            lap_v = LV[nc:2 * nc, :] + RV[:, nc:2 * nc]
+            if sing:
+                U = u_b + refs["SU"][:]
+                V = v_b + refs["SV"][:]
+                s_dudx = refs["SDUDX"][:]
+                s_dvdx = refs["SDVDX"][:]
+                s_dudy = s_dvdx - refs["SW"][:]
+                R_u = -(U * (du_dx + s_dudx) + V * (du_dy + s_dudy)) \
+                    - dpx + nu * lap_u + tu_ref[:]
+                R_v = -(U * (dv_dx + s_dvdx) + V * (dv_dy - s_dudx)) \
+                    - dpy + nu * lap_v + tv_ref[:]
+            else:
+                R_u = -(u_b * du_dx + v_b * du_dy) - dpx + nu * lap_u \
+                    + tu_ref[:]
+                R_v = -(u_b * dv_dx + v_b * dv_dy) - dpy + nu * lap_v \
+                    + tv_ref[:]
+            R_p = -beta_sq * (du_dx + dv_dy) * intr + tp_ref[:]
+
+            if sing:
+                su[:] = jnp.where(intr > 0.5, u_out[:] + adt * R_u,
+                                  refs["BCU"][:])
+                sv[:] = jnp.where(intr > 0.5, v_out[:] + adt * R_v,
+                                  refs["BCV"][:])
+            else:
+                su[:] = jnp.where(intr > 0.5, u_out[:] + adt * R_u, 0.0)
+                sv[:] = jnp.where(intr > 0.5, v_out[:] + adt * R_v, 0.0)
+            sp[:] = p_out[:] + adt * R_p
+            if not accumulate:
+                return None
+
+            # full-grid residual norms: core (incl. tau) + exact constant
+            # border strips (tau vanishes on the velocity boundary ring)
+            acc_u = jnp.sum(R_u * R_u)
+            acc_v = jnp.sum(R_v * R_v)
+            acc_p = jnp.sum(R_p * R_p)
+            TU = eng.right(u_c, "RCOLS")
+            TV = eng.right(v_c, "RCOLS")
+            T5 = eng.right(a5_c, "RCOLS")
+            T6 = eng.right(a6_c, "RCOLS")
+            Lu8 = eng.left("LROWS", u_c)
+            Lv8 = eng.left("LROWS", v_c)
+            Lp8 = eng.left("LROWS", p_c)
+            du_dyy_cb = TU[:, 1:2] + col(_C_UCOL) * s(_DYYT_BB)
+            R_u_cb = (-col(_C_CONVU) - T5[:, 2:3]
+                      + nu * (col(_C_DUDXX) + du_dyy_cb))
+            dv_dyy_cb = TV[:, 1:2] + col(_C_VCOL) * s(_DYYT_BB)
+            R_v_cb = (-col(_C_CONVV) - T6[:, 3:4]
+                      + nu * (col(_C_DVDXX) + dv_dyy_cb))
+            a5_bc = Lp8[2:3, :]
+            a6_bc = Lp8[3:4, :]
+            dpx_bc = eng.right(eng.cache(a5_bc), "IyT")
+            dpy_bc = eng.right(eng.cache(a6_bc), "GyT")
+            R_u_bc = -dpx_bc + nu * (Lu8[1:2, :] + row(_R_LAPU))
+            R_v_bc = -dpy_bc + nu * (Lv8[1:2, :] + row(_R_LAPV))
+            dpx_bb = _corner_dot(a5_bc, col(_C_IYTCB))
+            dpy_bb = _corner_dot(a6_bc, col(_C_GYTCB))
+            R_u_bb = -s(_CONV_BB) - dpx_bb + nu * s(_LAPU_BB)
+            R_v_bb = -s(_CONVV_BB) - dpy_bb + nu * s(_LAPV_BB)
+            acc_u = (acc_u + jnp.sum(R_u_cb * R_u_cb)
+                     + jnp.sum(R_u_bc * R_u_bc) + R_u_bb * R_u_bb)
+            acc_v = (acc_v + jnp.sum(R_v_cb * R_v_cb)
+                     + jnp.sum(R_v_bc * R_v_bc) + R_v_bb * R_v_bb)
+            return acc_u, acc_v, acc_p
+
+        acc = None
+        for k, alpha in enumerate(_RK4_ALPHAS):
+            acc = run_stage(alpha * dt,
+                            accumulate=(k == len(_RK4_ALPHAS) - 1))
+
+        # conserved quantities of the post-step state (chunk kernel's
+        # metrics_pass, verbatim semantics)
+        u_c = eng.cache(su[:])
+        v_c = eng.cache(sv[:])
+        omc = (eng.left("Dx", v_c)
+               - (eng.right(u_c, "DyT") + cu2[:, 0:nc]))
+        if sing:
+            omc = omc + refs["CLV"][0:nc, :]
+        om_cb = col(_C_DVDX) - (eng.right(u_c, "RCOLS")[:, 0:1]
+                                + col(_C_UCOL) * s(_DYT_BB))
+        om_bc = eng.left("LROWS", v_c)[0:1, :] + row(_R_OM)
+        om_bb = s(_OM_BB)
+        if sing:
+            u_t = su[:] + refs["SU"][:]
+            v_t = sv[:] + refs["SV"][:]
+            om_t = omc + refs["SW"][:]
+            om_cb_t = om_cb + col(_C_SW)
+            om_bc_t = om_bc + row(_R_SW)
+        else:
+            u_t, v_t = su[:], sv[:]
+            om_t, om_cb_t, om_bc_t = omc, om_cb, om_bc
+        energy = 0.5 * jnp.sum(w2d * (u_t * u_t + v_t * v_t)) + s(_E_BORD)
+        enstrophy = 0.5 * (
+            jnp.sum(w2d * om_t * om_t)
+            + jnp.sum(col(_C_WCOL) * om_cb_t * om_cb_t)
+            + jnp.sum(row(_R_WROW) * om_bc_t * om_bc_t)
+            + s(_WBB) * om_bb * om_bb)
+        om_c = eng.cache(omc)
+        dwx = eng.left("Dx", om_c) + col(_C_DXCB) * om_bc
+        dwy = eng.right(om_c, "DyT") + om_cb * row(_R_DYTBC)
+        if sing:
+            dwx = dwx + refs["SDWX"][:]
+            dwy = dwy + refs["SDWY"][:]
+        pal = jnp.sum(w2d * (dwx * dwx + dwy * dwy))
+        omcb_c = eng.cache(om_cb)
+        ombc_c = eng.cache(om_bc)
+        dwx_cb = eng.left("Dx", omcb_c) + col(_C_DXCB) * om_bb \
+            + col(_C_SDWX) if sing else \
+            eng.left("Dx", omcb_c) + col(_C_DXCB) * om_bb
+        dwy_cb = eng.right(om_c, "RCOLS")[:, 0:1] + om_cb * s(_DYT_BB) \
+            + (col(_C_SDWY) if sing else 0.0)
+        dwx_bc = eng.left("LROWS", om_c)[0:1, :] + s(_DX_BB) * om_bc \
+            + (row(_R_SDWX) if sing else 0.0)
+        dwy_bc = eng.right(ombc_c, "DyT") + om_bb * row(_R_DYTBC) \
+            + (row(_R_SDWY) if sing else 0.0)
+        dwx_bb = _corner_dot(eng_lrow_dx(), om_cb) + s(_DX_BB) * om_bb
+        dwy_bb = _corner_dot(om_bc, col(_C_DYTCB)) + om_bb * s(_DYT_BB)
+        pal = pal + jnp.sum(col(_C_WCOL) * (dwx_cb * dwx_cb
+                                            + dwy_cb * dwy_cb)) \
+            + jnp.sum(row(_R_WROW) * (dwx_bc * dwx_bc
+                                      + dwy_bc * dwy_bc)) \
+            + s(_WBB) * (dwx_bb * dwx_bb + dwy_bb * dwy_bb)
+
+        u_out[:] = su[:]
+        v_out[:] = sv[:]
+        p_out[:] = sp[:]
+        metrics_out[0, :] = jnp.stack([
+            jnp.sqrt(acc[0]), jnp.sqrt(acc[1]), jnp.sqrt(acc[2]),
+            energy, enstrophy, 0.5 * pal,
+        ])
+
+    vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    call = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((nc, nc), f32),
+            jax.ShapeDtypeStruct((nc, nc), f32),
+            jax.ShapeDtypeStruct((nc, nc), f32),
+            jax.ShapeDtypeStruct((1, 6), f32),
+        ),
+        in_specs=[vmem() for _ in range(n_mats + 6)]
+        + [pl.BlockSpec((1, _N_SCAL), memory_space=pltpu.SMEM)],
+        out_specs=(vmem(), vmem(), vmem(), vmem()),
+        scratch_shapes=[pltpu.VMEM((nc, nc), f32) for _ in range(3)]
+        + [pltpu.VMEM((2 * nc, nc), f32) for _ in range(3)],
+        input_output_aliases={n_mats: 0, n_mats + 1: 1, n_mats + 2: 2},
+        compiler_params=(pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20)
+                         if nc > 256 and not interpret else None),
+        interpret=interpret,
+    )
+    mat_list = [mats[k] for k in mat_names]
+    bord_u = jnp.asarray(np.asarray(ops.bc_u, np.float32))
+    bord_v = jnp.asarray(np.asarray(ops.bc_v, np.float32))
+
+    def step(state: SpectralState, tau):
+        u = state.u.astype(f32)[:nc, :nc]
+        v = state.v.astype(f32)[:nc, :nc]
+        p = jnp.zeros((nc, nc), f32).at[1:ni + 1, 1:ni + 1].set(
+            state.p.astype(f32))
+        t_u = tau[0].astype(f32)[:nc, :nc]
+        t_v = tau[1].astype(f32)[:nc, :nc]
+        t_p = jnp.zeros((nc, nc), f32).at[1:ni + 1, 1:ni + 1].set(
+            tau[2].astype(f32))
+        u, v, p, m = call(*mat_list, u, v, p, t_u, t_v, t_p, scal)
+        u_full = bord_u.at[:nc, :nc].set(u)
+        v_full = bord_v.at[:nc, :nc].set(v)
+        metrics = {
+            "u_eq": m[0, 0], "v_eq": m[0, 1], "continuity": m[0, 2],
+            "energy": m[0, 3], "enstrophy": m[0, 4],
+            "palinstrophy": m[0, 5],
+        }
+        return SpectralState(u=u_full, v=v_full,
+                             p=p[1:ni + 1, 1:ni + 1]), metrics
+
+    return step

@@ -79,7 +79,7 @@ def _peak_tflops(device_str: str) -> float | None:
 
 
 def _roofline(n: int, steps_per_sec: float, lanes: int = 1,
-              algorithm: str = "x3") -> dict:
+              algorithm: str = "x3", macs_per_step: float = None) -> dict:
     """Achieved TFLOP/s and model-FLOPs utilization for a spectral stage.
 
     FLOP model (per RK4 step, per lane, aligned bordered-core kernel):
@@ -94,9 +94,10 @@ def _roofline(n: int, steps_per_sec: float, lanes: int = 1,
     """
     import jax
 
-    macs = 48.0 * n ** 3 * lanes * steps_per_sec
+    per_step = 48.0 * n ** 3 if macs_per_step is None else macs_per_step
+    macs = per_step * lanes * steps_per_sec
     useful = 2.0 * macs / 1e12
-    mult = 3.0 if algorithm == "x3" else 6.0
+    mult = {"x3": 3.0, "x6": 6.0, "f32": 6.0}.get(algorithm, 3.0)
     out = {"tflops_useful": round(useful, 2),
            "tflops_mxu": round(useful * mult, 2)}
     peak = _peak_tflops(str(jax.devices()[0]))
@@ -434,6 +435,11 @@ def bench_fv() -> dict:
             _sync(state.u)
     _sync(state.u)
     rate = n_calls * CHUNK / (time.time() - t0)
+    # MXU FLOP model per SIMPLE iteration: the direct pressure solve's
+    # dense tensor-product dots (4 N^3 MACs per solve, 1 + n_refine
+    # solves at f32 HIGHEST); momentum BiCGSTAB is stencil/VPU work and
+    # excluded, so fv mfu reads as "pressure-solve MXU utilization"
+    fv_macs = 4.0 * N ** 3 * (1 + ops.n_refine)
     return {
         "fv_N128_simple_iters_per_sec": round(rate, 1),
         "fv_step_kind": step_kind,
@@ -441,6 +447,8 @@ def bench_fv() -> dict:
         "fv_compile_seconds": round(compile_s, 2),
         "fv_vs_cpu_f64": round(rate / 237.0, 2),
         "fv_final_u_finite": bool(np.isfinite(np.asarray(state.u)).all()),
+        **{"fv_" + k: v for k, v in _roofline(
+            N, rate, algorithm="f32", macs_per_step=fv_macs).items()},
     }
 
 

@@ -55,6 +55,8 @@ def main():
     ap.add_argument("--chunk", type=int, default=2000)
     ap.add_argument("--seconds", type=float, default=6.0)
     ap.add_argument("--metrics-every", type=int, default=8)
+    ap.add_argument("--sync-every", type=int, default=4,
+                    help="hard device sync every K chunks (bench headline uses 40x5000 steps)")
     a = ap.parse_args()
 
     lanes = a.kind.startswith("lanes")
@@ -96,7 +98,8 @@ def main():
         call = lambda s, it: run(s, jnp.int32(it), jnp.float32(np.inf))[0]
 
     print(f"kind={a.kind} N={a.n} B={B} chunk={a.chunk} "
-          f"metrics_every={a.metrics_every} device={jax.devices()[0]}",
+          f"metrics_every={a.metrics_every} sync_every={a.sync_every} "
+          f"device={jax.devices()[0]}",
           flush=True)
     t0 = time.time()
     state = call(state, 0)
@@ -108,7 +111,7 @@ def main():
         state = call(state, it)
         it += a.chunk
         n_chunks += 1
-        if n_chunks % 4 == 0:
+        if n_chunks % a.sync_every == 0:
             sync(state.u)
     sync(state.u)
     wall = time.time() - t0

@@ -196,6 +196,80 @@ class TestParity:
                  + factory.__code__.co_freevars)
         assert "make_aligned_chunk_runner" in names
 
+    def test_tau_step_matches_tiled_tau_step(self):
+        """FAS-forced single step (VMG smoothing): state + metrics match
+        make_tiled_sg_step(with_tau=True) at x6 to f32 dot-order noise,
+        with a nonzero interior tau."""
+        from anap3_tpu.ops.pallas_aligned import make_aligned_tau_step
+        from anap3_tpu.ops.pallas_tiled import make_tiled_sg_step
+
+        ops = mk_ops(Re=400.0, n=96)
+        st = core.initial_state(ops)
+        nf = 97
+        rng = np.random.default_rng(0)
+        t_u = np.zeros((nf, nf), np.float32)
+        t_v = np.zeros((nf, nf), np.float32)
+        t_u[1:-1, 1:-1] = rng.normal(0, 1e-3, (nf - 2, nf - 2))
+        t_v[1:-1, 1:-1] = rng.normal(0, 1e-3, (nf - 2, nf - 2))
+        t_p = rng.normal(0, 1e-3, (nf - 2, nf - 2)).astype(np.float32)
+        tau = (jnp.asarray(t_u), jnp.asarray(t_v), jnp.asarray(t_p))
+
+        ref = make_tiled_sg_step(ops, algorithm="x6", with_tau=True,
+                                 interpret=True)
+        ali = make_aligned_tau_step(ops, algorithm="x6", interpret=True)
+        rs, rm = ref(st, tau)
+        as_, am = ali(st, tau)
+        np.testing.assert_allclose(np.asarray(as_.u), np.asarray(rs.u),
+                                   rtol=1e-5, atol=1e-7)
+        np.testing.assert_allclose(np.asarray(as_.v), np.asarray(rs.v),
+                                   rtol=1e-5, atol=1e-7)
+        np.testing.assert_allclose(np.asarray(as_.p), np.asarray(rs.p),
+                                   rtol=1e-5, atol=1e-7)
+        for k in rm:
+            np.testing.assert_allclose(float(am[k]), float(rm[k]),
+                                       rtol=2e-4, err_msg=k)
+        # borders of the reassembled state are the BC constants
+        np.testing.assert_array_equal(np.asarray(as_.u)[:, -1],
+                                      np.asarray(ops.bc_u)[:, -1])
+
+    def test_tau_step_singular_matches_tiled(self):
+        from anap3_tpu.ops.pallas_aligned import make_aligned_tau_step
+        from anap3_tpu.ops.pallas_tiled import make_tiled_sg_step
+
+        ops = mk_ops(Re=1000.0, n=96, corner_treatment="singular")
+        st = core.initial_state(ops)
+        zer = (jnp.zeros_like(st.u), jnp.zeros_like(st.v),
+               jnp.zeros_like(st.p))
+        ref = make_tiled_sg_step(ops, algorithm="x6", with_tau=True,
+                                 interpret=True)
+        ali = make_aligned_tau_step(ops, algorithm="x6", interpret=True)
+        rs, rm = ref(st, zer)
+        as_, am = ali(st, zer)
+        np.testing.assert_allclose(np.asarray(as_.u), np.asarray(rs.u),
+                                   rtol=1e-5, atol=1e-7)
+        np.testing.assert_allclose(np.asarray(as_.v), np.asarray(rs.v),
+                                   rtol=1e-5, atol=1e-7)
+        for k in rm:
+            np.testing.assert_allclose(float(am[k]), float(rm[k]),
+                                       rtol=5e-4, err_msg=k)
+
+    def test_fused_tau_steps_select_aligned(self):
+        """build_fused_tau_steps routes aligned-size levels to the
+        bordered-core tau step (use_pallas=true opens the TPU gate)."""
+        from anap3_tpu.models.spectral_vmg import (VMGSolver,
+                                                   build_vmg_levels,
+                                                   build_fused_tau_steps)
+
+        s = VMGSolver(Re=100.0, nx=48, ny=48, dtype="float32",
+                      basis_type="chebyshev", n_levels=2, multigrid="fsg",
+                      use_pallas="true")
+        levels = build_vmg_levels(s.params)
+        steps = build_fused_tau_steps(s, levels)
+        assert steps is not None and set(steps) == {0, 1}
+        for fn in steps.values():
+            names = fn.__code__.co_names + fn.__code__.co_freevars
+            assert "call" in names or "mat_list" in names
+
     @pytest.mark.slow
     def test_residual_criterion_and_ref_norm(self):
         """The 'residual' criterion threads ref_norm identically."""
