@@ -213,9 +213,14 @@ def build_fused_tau_steps(solver, levels) -> dict | None:
 
     def mk(lv):
         # bordered-core x6 smoothing where the aligned tier covers the
-        # level (round 4): the padded tiled x6 stage dot at N=128 pays 12
-        # MXU tiles for ~2 of useful work — smoothing dominates cycle wall
-        if aligned_supported(lv.n, singular=lv.ops.sing_u is not None):
+        # level (round 4): measured whole-cycle rates on one v5e —
+        # [128,64,32] 2520 vs 1913 cycles/s, [256,128] 1244 vs 542
+        # (2.3x: the tiled tau step must row-block above _TAU_BLK_N),
+        # [192,96] a wash, [320,160,80] the ALIGNED step is slower
+        # (496 vs 612: the raised-VMEM x6 core spills), so the routing
+        # caps at 256.
+        if lv.n <= 256 and aligned_supported(
+                lv.n, singular=lv.ops.sing_u is not None):
             return make_aligned_tau_step(lv.ops, algorithm="x6")
         return make_tiled_sg_step(lv.ops, algorithm="x6", with_tau=True,
                                   blk=32 if lv.n > _TAU_BLK_N else None)

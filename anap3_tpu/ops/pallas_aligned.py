@@ -882,15 +882,15 @@ def make_aligned_tau_step(ops: SpectralOps, interpret: bool = False,
         pal = jnp.sum(w2d * (dwx * dwx + dwy * dwy))
         omcb_c = eng.cache(om_cb)
         ombc_c = eng.cache(om_bc)
-        dwx_cb = eng.left("Dx", omcb_c) + col(_C_DXCB) * om_bb \
-            + col(_C_SDWX) if sing else \
-            eng.left("Dx", omcb_c) + col(_C_DXCB) * om_bb
-        dwy_cb = eng.right(om_c, "RCOLS")[:, 0:1] + om_cb * s(_DYT_BB) \
-            + (col(_C_SDWY) if sing else 0.0)
-        dwx_bc = eng.left("LROWS", om_c)[0:1, :] + s(_DX_BB) * om_bc \
-            + (row(_R_SDWX) if sing else 0.0)
-        dwy_bc = eng.right(ombc_c, "DyT") + om_bb * row(_R_DYTBC) \
-            + (row(_R_SDWY) if sing else 0.0)
+        dwx_cb = eng.left("Dx", omcb_c) + col(_C_DXCB) * om_bb
+        dwy_cb = eng.right(om_c, "RCOLS")[:, 0:1] + om_cb * s(_DYT_BB)
+        dwx_bc = eng.left("LROWS", om_c)[0:1, :] + s(_DX_BB) * om_bc
+        dwy_bc = eng.right(ombc_c, "DyT") + om_bb * row(_R_DYTBC)
+        if sing:
+            dwx_cb = dwx_cb + col(_C_SDWX)
+            dwy_cb = dwy_cb + col(_C_SDWY)
+            dwx_bc = dwx_bc + row(_R_SDWX)
+            dwy_bc = dwy_bc + row(_R_SDWY)
         dwx_bb = _corner_dot(eng_lrow_dx(), om_cb) + s(_DX_BB) * om_bb
         dwy_bb = _corner_dot(om_bc, col(_C_DYTCB)) + om_bb * s(_DYT_BB)
         pal = pal + jnp.sum(col(_C_WCOL) * (dwx_cb * dwx_cb

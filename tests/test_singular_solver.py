@@ -275,40 +275,49 @@ class TestSingularSolve:
         assert smooth[0].res_full is not smooth[0].inj_full
 
     @pytest.mark.slow
-    def test_vmg_singular_converges_to_sg_state(self):
-        """The round-3 FAILING config (Re=100 [48,24] drifted to E=0.159
-        vs the physical 0.034): with nodal-injection defect restriction
-        2,500 V-cycles (10k fine-step equivalents — 14x less fine-grid
-        work than the ~143k-step single-grid march to the same state)
-        land on the single-grid singular solution. Both runs use FIXED
-        budgets: the stop criteria are covered elsewhere, and the f32
-        energy-plateau noise floor is environment-sensitive — the
-        discriminator here is the STATE (the round-3 bug was 4.6x off
-        in energy, 1% discriminates decisively)."""
+    def test_vmg_singular_converges_to_newton_state(self):
+        """Singular-mode FAS V-cycles (nodal-injection defect restriction)
+        converge to the EXACT discrete steady state. The truth is the
+        Newton-Krylov solve (f64, ||F||_rms <= 1e-8, seconds at this size)
+        rather than a marched SG reference: the singular Re=100 march
+        rides a ~400k-step viscous timescale and is still 1.6% short of
+        the steady energy after 1.5M steps (measured on TPU), so any SG
+        budget a test can afford compares two unconverged transients.
+        The round-3 restriction bug drifted this config's energy 4.6x off
+        (0.159 vs 0.034) — the 0.5%-of-lid max|u| bar discriminates
+        decisively. [40,20] puts the coarse level exactly AT the measured
+        singular FAS floor (2.0*sqrt(Re))."""
         import jax.numpy as jnp
 
         from anap3_tpu.models import spectral_sg as score
         from anap3_tpu.models.runner import run_fixed_point
         from anap3_tpu.models.spectral_vmg import (build_vmg_levels,
                                                    make_v_cycle)
+        from anap3_tpu.models.steady import NewtonSolver
 
-        p = SpectralParameters(name="spectral", Re=100.0, nx=48, ny=48,
+        ns = NewtonSolver(Re=100.0, nx=40, ny=40,
+                          corner_treatment="singular", tolerance=1e-8,
+                          basis_type="chebyshev")
+        ns.solve()
+        assert ns.metrics.converged
+
+        p = SpectralParameters(name="spectral", Re=100.0, nx=40, ny=40,
                                basis_type="chebyshev",
                                corner_treatment="singular", dtype="float32",
                                n_levels=2, multigrid="fsg")
         ops, _ = score.build_spectral_ops(p)
-        ref = run_fixed_point(lambda s: score.sg_step(ops, s),
-                              lambda s: (s.u, s.v), score.initial_state(ops),
-                              tolerance=0.0, max_iterations=160000,
-                              chunk=2000)
         vc = make_v_cycle(build_vmg_levels(p), 2, 2, 30)
         res = run_fixed_point(vc, lambda s: (s.u, s.v),
-                              score.initial_state(ops), tolerance=0.0,
-                              max_iterations=2500, chunk=250)
-        assert not res.diverged
+                              score.initial_state(ops), tolerance=1e-3,
+                              max_iterations=20000, chunk=250,
+                              convergence_metric="energy")
+        assert res.converged and not res.diverged
+        # measured: converges at ~6.3k cycles with E=0.034406 vs Newton's
+        # 0.034444, max|du|=0.0016
         assert res.history["energy"][-1] == pytest.approx(
-            ref.history["energy"][-1], rel=0.01)
-        assert float(jnp.max(jnp.abs(res.state.u - ref.state.u))) < 5e-3
+            ns.metrics.final_energy, rel=0.01)
+        du = jnp.max(jnp.abs(res.state.u.astype(jnp.float64) - ns.state.u))
+        assert float(du) < 5e-3
 
     @pytest.mark.slow
     def test_beats_smoothed_lid_floor_re100(self):
