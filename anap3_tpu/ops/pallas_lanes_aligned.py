@@ -58,21 +58,24 @@ from .pallas_aligned import (
 __all__ = ["make_aligned_lane_runner", "aligned_lanes_supported",
            "suggest_aligned_lane_count"]
 
-# Per-lane VMEM units (one unit = nc*nc*4 bytes): 3 aliased state arrays +
-# 3 stage scratch + 2 for the stacked CU2 + ~10 for the stage SSA
-# temporaries Mosaic materializes (RU/RV values, bf16 hi/lo splits of the
-# three state caches, per-lane left-product values in flight).
-_UNITS_PER_LANE = 18.0
-# The v5e has 128 MB of physical VMEM (see ops/pallas_tiled.py); the lanes
-# kernel always requests a raised scoped limit, so the sizing budget is
-# set well above the 16 MB default but conservatively below physical to
-# leave room for the operator matrices and compiler stack.
-_VMEM_BUDGET_BYTES = 48 * 2**20
+# Per-lane VMEM units (one unit = nc * roundup(nc, 128) * 4 bytes — the
+# LANE-PADDED core footprint: Mosaic stores the last axis in 128-wide
+# tiles, so at N=96 every (96, 96) value occupies a (96, 128) tile).
+# MEASURED, not modeled: N=96 B=64 x3 compiles to 138.55 MB total
+# (XLA:TPU "Ran out of memory in memory space vmem", v5e 128 MB physical)
+# = 2.17 MB/lane = 44 padded units/lane — the stage SSA temporaries
+# (bf16 hi/lo splits, per-lane left products in flight, RU/RV values)
+# dominate the 8 nameable arrays. 48 units keeps ~10% headroom.
+_UNITS_PER_LANE = 48.0
+# Budget below the v5e's 128 MB physical VMEM to leave room for the
+# shared operator matrices, the stacked CU2/CCOL/CROW constants, and the
+# compiler stack. N=96 B=32 measured working (~69 MB of lane state).
+_VMEM_BUDGET_BYTES = 80 * 2**20
 
 
 def suggest_aligned_lane_count(n: int, requested: int) -> int:
     """Largest B <= requested whose working set fits the VMEM budget."""
-    unit = n * n * 4
+    unit = n * (((n + 127) // 128) * 128) * 4
     fit = max(1, int(_VMEM_BUDGET_BYTES / (_UNITS_PER_LANE * unit)))
     return max(1, min(int(requested), fit))
 

@@ -47,6 +47,10 @@ class TestSupport:
     def test_lane_budget(self):
         assert suggest_aligned_lane_count(128, 8) == 8
         assert suggest_aligned_lane_count(320, 64) < 64
+        # calibration regression: N=96 B=64 measured OOM at 138.55 MB of
+        # the v5e's 128 MB VMEM (2.17 MB/lane); B=32 measured working
+        assert suggest_aligned_lane_count(96, 64) < 40
+        assert suggest_aligned_lane_count(96, 32) == 32
 
     def test_maybe_lane_runner_prefers_aligned(self):
         """The sweep dispatch entry point selects the aligned lane kernel
