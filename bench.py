@@ -266,8 +266,8 @@ def bench_numpy_reference(max_steps: int = 30) -> float:
     return steps / (time.time() - t0)
 
 
-def bench_lanes() -> dict:
-    """Aggregate sweep throughput: B lanes of N=128 in ONE lane-batched
+def bench_lanes(n: int = None, b_req: int = 8, window: float = 10.0) -> dict:
+    """Aggregate sweep throughput: B lanes of N=``n`` in ONE lane-batched
     Pallas program — the production multirun path for fused-kernel-eligible
     sweep groups (main.run_multirun_batched). Round 4 dispatches the
     lane-batched ALIGNED bordered-core kernel (ops/pallas_lanes_aligned.py,
@@ -281,7 +281,8 @@ def bench_lanes() -> dict:
     from anap3_tpu.ops import pallas_lanes as PL
     from anap3_tpu.ops import pallas_lanes_aligned as PLA
 
-    B = PLA.suggest_aligned_lane_count(N, 8)
+    N = n if n is not None else globals()["N"]
+    B = PLA.suggest_aligned_lane_count(N, b_req)
     Res = np.linspace(400.0, 1100.0, B)
     ops_list = []
     states = []
@@ -338,7 +339,7 @@ def bench_lanes() -> dict:
     s, it = out[0], CHUNK
     t0 = time.time()
     n_chunks = 0
-    while time.time() - t0 < 10.0:
+    while time.time() - t0 < window:
         out = runner(s, jnp.asarray(it, jnp.int32))
         s, it = out[0], it + CHUNK
         n_chunks += 1
@@ -351,15 +352,16 @@ def bench_lanes() -> dict:
     _sync(s.u)
     wall = time.time() - t0
     rate = B * n_chunks * CHUNK / wall
+    pre = "sweep_lane" if n is None else f"sweep_lane_N{N}"
     return {
         f"sweep_lane_steps_per_sec_N{N}_B{B}": round(rate, 1),
-        "sweep_lane_kind": lane_kind,
-        "sweep_lane_per_lane_steps_per_sec": round(rate / B, 1),
-        "sweep_lane_window_seconds": round(wall, 1),
-        "sweep_lane_sync_every_chunks": SYNC_EVERY,
-        "sweep_lane_compile_seconds": round(compile_s, 2),
-        "sweep_lanes_finite": bool(np.isfinite(np.asarray(s.u)).all()),
-        **{"sweep_lane_" + k: v
+        f"{pre}_kind": lane_kind,
+        f"{pre}_per_lane_steps_per_sec": round(rate / B, 1),
+        f"{pre}_window_seconds": round(wall, 1),
+        f"{pre}_sync_every_chunks": SYNC_EVERY,
+        f"{pre}_compile_seconds": round(compile_s, 2),
+        f"{pre}s_finite": bool(np.isfinite(np.asarray(s.u)).all()),
+        **{f"{pre}_" + k: v
            for k, v in _roofline(N, rate / B, lanes=B).items()},
     }
 
@@ -581,6 +583,15 @@ def main():
         fv_extras.update(bench_lanes())
     except Exception as exc:
         fv_extras["lanes_error"] = repr(exc)[:200]
+    # wide sweep at the north-star size: 32 lanes of N=96 in one program
+    # (single-lane N=96 is launch/sync-bound at ~128k steps/s; batching
+    # amortizes it to ~285k aggregate — the "many concurrent sweep
+    # members per host" axis of BASELINE.json)
+    _stage("wide sweep N=96")
+    try:
+        fv_extras.update(bench_lanes(n=96, b_req=32, window=6.0))
+    except Exception as exc:
+        fv_extras["lanes_wide_error"] = repr(exc)[:200]
     _stage("done")
     result = {
         "metric": f"spectral_N{N}_rk4_timesteps_per_sec",

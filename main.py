@@ -386,10 +386,55 @@ def _batchable(jobs) -> bool:
     return True
 
 
+def _lane_kernel_split(jobs):
+    """Balanced sub-batches when a single-device SG group exceeds the
+    aligned lane kernel's VMEM lane budget (ops/pallas_lanes_aligned).
+
+    A 64-member N=96 sweep does not fit one lane program (measured VMEM
+    OOM at B=64; suggest_aligned_lane_count caps at ~35) — but two
+    32-lane programs each run at ~285k aggregate lane-steps/s where the
+    whole-batch fallback is the far slower vmapped XLA path. Returns a
+    list of job slices to recurse on, or None to run the batch whole
+    (multi-device meshes shard the full batch axis instead; non-SG and
+    non-TPU groups keep the vmapped path, which prefers one big batch).
+    """
+    import jax
+
+    if len(jax.devices()) > 1 and len(jobs) % len(jax.devices()) == 0:
+        return None
+    if jax.default_backend() != "tpu":
+        return None
+    tgt = jobs[0]["solver"].get("_target_", "")
+    if not tgt.endswith("SGSolver"):
+        return None
+    if str(jobs[0]["solver"].get("use_pallas", "auto")).lower() in (
+            "false", "0", "no"):
+        return None
+    from anap3_tpu.ops.pallas_aligned import aligned_supported
+    from anap3_tpu.ops.pallas_lanes_aligned import suggest_aligned_lane_count
+
+    n = int(jobs[0]["N"])
+    fit = suggest_aligned_lane_count(n, len(jobs))
+    if not aligned_supported(n) or fit >= len(jobs) or fit < 2:
+        return None
+    n_parts = -(-len(jobs) // fit)
+    size = -(-len(jobs) // n_parts)
+    log.info("Splitting %d lanes into %d lane-kernel sub-batches of <= %d "
+             "(N=%d VMEM lane budget)", len(jobs), n_parts, size, n)
+    return [jobs[k:k + size] for k in range(0, len(jobs), size)]
+
+
 def run_multirun_batched(jobs):
     """All sweep members in ONE vmapped device batch (see parallel.sweep)."""
     from anap3_tpu.models.runner import IterationResult, WARMUP_ITERS
     from anap3_tpu.parallel import run_batched_sweep, stack_ops
+
+    split = _lane_kernel_split(jobs)
+    if split is not None:
+        objectives = []
+        for part in split:
+            objectives.extend(run_multirun_batched(part))
+        return objectives
     import jax
 
     def _scaled_plateau(n, chunk, spectral):

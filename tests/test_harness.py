@@ -262,6 +262,31 @@ class TestMultirunBatched:
                                    ["solver=spectral/sg", "N=8,12"])
         assert not M._batchable(jobs)  # differing N -> no shared operators
 
+    def test_lane_kernel_split_balances_oversized_groups(self, monkeypatch):
+        """A single-device SG group above the aligned lane kernel's VMEM
+        budget is split into balanced sub-batches that each fit (the
+        measured N=96 B=64 OOM, ops/pallas_lanes_aligned)."""
+        import jax
+
+        import main as M
+
+        jobs = [{"solver": {"_target_": "anap3_tpu.models.SGSolver",
+                            "use_pallas": "auto"}, "N": 96}] * 64
+        # CPU backend (this suite) -> no split
+        assert M._lane_kernel_split(jobs) is None
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        if len(jax.devices()) > 1:  # 8-device CPU mesh: shard, not split
+            assert M._lane_kernel_split(jobs) is None
+        monkeypatch.setattr(jax, "devices", lambda: [object()])
+        parts = M._lane_kernel_split(jobs)
+        assert parts is not None and sum(len(p) for p in parts) == 64
+        from anap3_tpu.ops.pallas_lanes_aligned import \
+            suggest_aligned_lane_count
+
+        fit = suggest_aligned_lane_count(96, 64)
+        assert all(2 <= len(p) <= fit for p in parts)
+        assert max(len(p) for p in parts) - min(len(p) for p in parts) <= 1
+
     @pytest.mark.slow
     def test_threaded_heterogeneous_sweep(self, tmp_path, monkeypatch):
         """machine.n_jobs>1 runs non-batchable members on host threads;
