@@ -463,7 +463,17 @@ class VMGSolver(SGSolver):
         coarse_to_fine = levels[::-1]
         state = None
         total = 0
+        # singular cycles carry a per-cycle rel-iter noise floor from the
+        # corner-sampled convection constants (see solve()'s criterion
+        # resolution) — prelude levels would burn their whole budget on a
+        # criterion that can never fire, so they use the energy plateau too
+        metric = resolve_convergence_metric(self.params, auto_large="rel_iter")
+        if (str(getattr(self.params, "convergence_metric", "auto")) == "auto"
+                and self._is_singular()):
+            metric = "energy"
+        reached = 0
         for k, level in enumerate(coarse_to_fine[:-1]):
+            reached = k
             sub_levels = levels[len(levels) - 1 - k:]
             level_tol = tol * (self.params.coarse_tolerance_factor
                                ** (len(coarse_to_fine) - 1 - k))
@@ -472,6 +482,7 @@ class VMGSolver(SGSolver):
             else:
                 state = FMGSolver._prolongate_fmg(
                     self, coarse_to_fine[k - 1], level, state, dtype)
+            warm = state  # finite by construction (prolongated/cold init)
             cyc_chunk = max(1, min(50, self.params.chunk_size // 4))
             if len(sub_levels) > 1:
                 step = make_v_cycle(sub_levels, self.NU1, self.NU2,
@@ -488,8 +499,7 @@ class VMGSolver(SGSolver):
             result = run_fixed_point(
                 step, lambda s: (s.u, s.v), state,
                 tolerance=level_tol, max_iterations=budget, chunk=cyc_chunk,
-                convergence_metric=resolve_convergence_metric(
-                    self.params, auto_large="rel_iter"),
+                convergence_metric=metric,
                 energy_plateau_chunks=window,
             )
             state = result.state
@@ -498,15 +508,28 @@ class VMGSolver(SGSolver):
                      "converged=%s", k, level.n, result.iterations,
                      result.converged)
             if result.diverged:
+                # the diverging step is committed before the lane freeze,
+                # so the result state can be NaN-contaminated — fall back
+                # to the finite warm start this level began from
+                if not bool(jnp.all(jnp.isfinite(result.state.u))):
+                    state = warm
                 log.warning("warm-start level %d (N=%d) diverged; "
                             "continuing with its last finite state",
                             k, level.n)
                 break
-        state = FMGSolver._prolongate_fmg(
-            self, coarse_to_fine[-2], coarse_to_fine[-1], state, dtype)
+        # prolongate from the last level actually reached through every
+        # remaining transfer pair (an early divergence break may leave the
+        # state several levels below the finest)
+        for j in range(reached + 1, len(coarse_to_fine)):
+            state = FMGSolver._prolongate_fmg(
+                self, coarse_to_fine[j - 1], coarse_to_fine[j], state, dtype)
         return state, total
 
     def solve(self, tolerance: float = None, max_iter: int = None) -> None:
+        # NOTE: the warm-start prelude above mirrors FMGSolver.solve's
+        # per-level cascade (level slicing, level_tol schedule, budgets)
+        # with a different divergence policy (fall back + prolongate vs
+        # abort with a fine-shaped NaN state) — change them together.
         tol = self.params.tolerance if tolerance is None else tolerance
         max_iter = self.params.max_iterations if max_iter is None else max_iter
         if self._reject_singular():

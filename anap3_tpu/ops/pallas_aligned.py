@@ -556,18 +556,25 @@ def make_aligned_chunk_runner(ops: SpectralOps, chunk: int, tolerance: float,
             for k, alpha in enumerate(_RK4_ALPHAS):
                 stage_out = run_stage(alpha * dt,
                                       accumulate=(k == len(_RK4_ALPHAS) - 1))
+            # the held carries initialize to 0.0 each chunk call, so the
+            # FIRST step of a chunk always runs a fresh pass: a chunk
+            # whose length is not a metrics_every multiple (clamped
+            # budgets, custom chunk_size) would otherwise record zeros
+            # until the global cadence next fires
             if res_every == 1:
                 r_un, r_vn, r_pn = res_pass(stage_out)
             else:
                 r_un, r_vn, r_pn = jax.lax.cond(
-                    idx % jnp.int32(res_every) == 0,
+                    (i == jnp.int32(0))
+                    | (idx % jnp.int32(res_every) == 0),
                     lambda: res_pass(stage_out),
                     lambda: (ru_c, rv_c, rp_c))
             if metrics_every == 1:
                 energy, enstrophy, palinstrophy = metrics_pass()
             else:
                 energy, enstrophy, palinstrophy = jax.lax.cond(
-                    idx % jnp.int32(metrics_every) == 0,
+                    (i == jnp.int32(0))
+                    | (idx % jnp.int32(metrics_every) == 0),
                     metrics_pass, lambda: (e_c, z_c, pl_c))
 
             du = jnp.sqrt(jnp.sum((su[:] - bu[:]) ** 2))

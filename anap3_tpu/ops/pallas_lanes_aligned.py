@@ -398,7 +398,13 @@ def make_aligned_lane_runner(ops_list, chunk: int, tolerance: float,
                 ru_t, rv_t, rp_t = res_pass(stage_out)
                 e_t, z_t, pl_t = metrics_pass()
             else:
-                on_cadence = idx % jnp.int32(metrics_every) == 0
+                # first step of every chunk is always fresh: the held
+                # carries init to 0.0 per chunk call, so a chunk length
+                # that is not a metrics_every multiple would otherwise
+                # record zeros until the global cadence next fires (see
+                # ops/pallas_aligned.py loop_body)
+                on_cadence = (i == jnp.int32(0)) | (
+                    idx % jnp.int32(metrics_every) == 0)
                 ru_t, rv_t, rp_t = jax.lax.cond(
                     on_cadence, lambda: res_pass(stage_out),
                     lambda: (ru_t, rv_t, rp_t))

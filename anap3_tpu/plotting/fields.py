@@ -58,7 +58,7 @@ def plot_vorticity(fields: dict, Re, solver_name, N, output_dir) -> Path:
 
 
 def generate_field_plots(fields: dict, output_dir, dpi: int = 300,
-                         resample_n: int = 512) -> dict:
+                         resample_n: int = 512, only=None) -> dict:
     """u.png, v.png, pressure.png, vel-mag.png, streamlines.png.
 
     Render tier matched to the reference's 2400^2 off-screen PyVista
@@ -67,8 +67,13 @@ def generate_field_plots(fields: dict, output_dir, dpi: int = 300,
     512^2 uniform grid, u/v use the paraview-like cool-to-warm diverging
     map, and the streamline plot seeds a uniform grid with unbroken lines
     (the evenly-spaced-streamline look of the PyVista renderer).
+
+    ``only`` (optional set of artifact names) renders just those — the
+    PyVista tier's back-fill uses it so a single failed render never
+    overwrites the sibling renders that succeeded.
     """
     output_dir = Path(output_dir)
+    wanted = (lambda name: only is None or name in only)
     x, y, U, V, P = restructure_fields(fields)
     xi, yi, Ui = _resample(x, y, U, n=resample_n)
     _, _, Vi = _resample(x, y, V, n=resample_n)
@@ -90,15 +95,20 @@ def generate_field_plots(fields: dict, output_dir, dpi: int = 300,
         plt.close(fig)
         out[name] = path
 
-    render("u", Ui, "coolwarm", "$u$")
-    render("v", Vi, "coolwarm", "$v$")
-    render("pressure", Pi, "viridis", "$p$")
-    render("vel-mag", mag, "magma", r"$|\mathbf{u}|$")
+    if wanted("u"):
+        render("u", Ui, "coolwarm", "$u$")
+    if wanted("v"):
+        render("v", Vi, "coolwarm", "$v$")
+    if wanted("pressure"):
+        render("pressure", Pi, "viridis", "$p$")
+    if wanted("vel-mag"):
+        render("vel-mag", mag, "magma", r"$|\mathbf{u}|$")
 
     # Evenly-spaced streamlines: uniform seed grid + unbroken lines where
     # matplotlib supports it (>=3.6), with the density-fallback retries the
     # reference uses for its subprocess-isolated VTK renderer.
-    for density, n_seed in ((2.0, 24), (1.2, 16), (0.7, 10)):
+    for density, n_seed in ((2.0, 24), (1.2, 16), (0.7, 10)) \
+            if wanted("streamlines") else ():
         try:
             fig, ax = plt.subplots(figsize=(8.6, 8))
             sx, sy = np.meshgrid(
@@ -132,13 +142,15 @@ def generate_field_plots(fields: dict, output_dir, dpi: int = 300,
     # No VTK in this image, so: the 2D streamline trajectories are lifted
     # onto the speed surface z = |u|(x, y) and drawn from an elevated
     # camera over a translucent surface.
-    try:
-        path = _render_streamlines_3d(xi, yi, Ui, Vi, mag, output_dir, dpi)
-        if path is not None:
-            out["streamlines_3d"] = path
-    except Exception as exc:
-        plt.close("all")
-        log.warning("3D streamline render failed: %s", exc)
+    if wanted("streamlines_3d"):
+        try:
+            path = _render_streamlines_3d(xi, yi, Ui, Vi, mag, output_dir,
+                                          dpi)
+            if path is not None:
+                out["streamlines_3d"] = path
+        except Exception as exc:
+            plt.close("all")
+            log.warning("3D streamline render failed: %s", exc)
     return out
 
 

@@ -190,12 +190,16 @@ def generate_field_plots_auto(fields: dict, output_dir, **kwargs) -> dict:
         return generate_field_plots(fields, output_dir, **kwargs)
     out = generate_field_plots_pyvista(fields, output_dir)
     expected = {"u", "v", "pressure", "vel-mag", "streamlines"}
-    missing = expected - set(out)
-    if missing:
+    # streamlines_3d is always matplotlib's (the reference renders it via
+    # a VTK camera angle; the PyVista tier here does not) — back-fill is
+    # SELECTIVE so a single failed render never overwrites the sibling
+    # PyVista screenshots that succeeded on disk
+    missing = (expected - set(out)) | {"streamlines_3d"}
+    if missing - {"streamlines_3d"}:
         log.warning("PyVista tier missing %s; back-filling via matplotlib",
-                    sorted(missing))
-        mpl = generate_field_plots(fields, output_dir, **kwargs)
-        for k in missing | {"streamlines_3d"}:
-            if k in mpl:
-                out[k] = mpl[k]
+                    sorted(missing - {"streamlines_3d"}))
+    mpl = generate_field_plots(fields, output_dir, only=missing, **kwargs)
+    for k in missing:
+        if k in mpl:
+            out[k] = mpl[k]
     return out

@@ -410,6 +410,15 @@ def _lane_kernel_split(jobs):
     if str(jobs[0]["solver"].get("use_pallas", "auto")).lower() in (
             "false", "0", "no"):
         return None
+    # mirror the lane kernel's own eligibility (pallas_lanes_aligned):
+    # a batch the kernel would reject anyway is better off as ONE big
+    # vmapped program than as serialized sub-batches
+    if any(str(cfg["solver"].get("dtype", "auto")).lower()
+           not in ("auto", "float32") for cfg in jobs):
+        return None
+    if any(str(cfg["solver"].get("corner_treatment", "smoothing")).lower()
+           == "singular" for cfg in jobs):
+        return None
     from anap3_tpu.ops.pallas_aligned import aligned_supported
     from anap3_tpu.ops.pallas_lanes_aligned import suggest_aligned_lane_count
 

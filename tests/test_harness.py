@@ -286,6 +286,15 @@ class TestMultirunBatched:
         fit = suggest_aligned_lane_count(96, 64)
         assert all(2 <= len(p) <= fit for p in parts)
         assert max(len(p) for p in parts) - min(len(p) for p in parts) <= 1
+        # ineligible batches (the lane kernel would reject every sub-batch)
+        # must run whole on the vmapped path instead of split-serialized
+        f64 = [dict(j, solver=dict(j["solver"], dtype="float64"))
+               for j in jobs]
+        assert M._lane_kernel_split(f64) is None
+        sing = [dict(j, solver=dict(j["solver"],
+                                    corner_treatment="singular"))
+                for j in jobs]
+        assert M._lane_kernel_split(sing) is None
 
     @pytest.mark.slow
     def test_threaded_heterogeneous_sweep(self, tmp_path, monkeypatch):

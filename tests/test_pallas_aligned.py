@@ -126,6 +126,26 @@ class TestParity:
         for i in (4, 5):
             np.testing.assert_array_equal(R3[i, 1:4], R3[3, 1:4])
 
+    def test_misaligned_chunk_phase_never_records_zeros(self):
+        """Chunk length NOT a metrics_every multiple: the second chunk
+        starts at a global idx off the cadence, and the zero-initialized
+        held carries must NOT leak into the rows (round-4 review bug:
+        idx 6,7 recorded energy 0.0). The first step of every chunk now
+        runs a fresh pass."""
+        ops = mk_ops(Re=400.0, n=96)
+        st = core.initial_state(ops)
+        run = make_aligned_chunk_runner(ops, 6, 1e-30, 10, interpret=True,
+                                        metrics_every=4)
+        st, *_, rows0, _ = run(st, jnp.int32(0), jnp.float32(np.inf))
+        *_mid, rows1, _ = run(st, jnp.int32(6), jnp.float32(np.inf))
+        R = np.asarray(rows1)
+        assert np.all(R[:, 4] > 0.0)  # energy column: no zero carries
+        assert np.all(R[:, 1:4] > 0.0)  # residual norms likewise
+        # idx 6,7 hold the FRESH chunk-start pass (idx 6), then the
+        # cadence fires at idx 8
+        np.testing.assert_array_equal(R[1, 4:7], R[0, 4:7])
+        assert R[2, 4] != R[1, 4]
+
     @pytest.mark.slow
     def test_sharp_lid_parity(self):
         """corner_treatment=none puts a nonzero value at the lid corner

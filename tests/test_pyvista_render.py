@@ -64,6 +64,52 @@ class TestDispatch:
         for name in ("u", "v", "pressure", "vel-mag", "streamlines"):
             assert name in out and out[name].exists(), name
 
+    def test_backfill_is_selective(self, tmp_path, monkeypatch):
+        """One failed PyVista render must be back-filled WITHOUT
+        re-rendering (overwriting) the screenshots that succeeded, and
+        streamlines_3d (matplotlib-only) must always be produced."""
+        monkeypatch.setitem(sys.modules, "pyvista", types.ModuleType("pv"))
+
+        def partial(fields, output_dir):
+            # simulate four successful PyVista screenshots on disk
+            done = {}
+            for name in ("u", "v", "pressure", "vel-mag"):
+                p = tmp_path / f"{name}.png"
+                p.write_bytes(b"PYVISTA")
+                done[name] = p
+            return done  # streamline subprocess "timed out"
+
+        monkeypatch.setattr(R, "generate_field_plots_pyvista", partial)
+        out = R.generate_field_plots_auto(toy_fields(), tmp_path,
+                                          resample_n=64)
+        for name in ("u", "v", "pressure", "vel-mag"):
+            assert (tmp_path / f"{name}.png").read_bytes() == b"PYVISTA", \
+                f"{name} was clobbered by the back-fill"
+        assert out["streamlines"].exists()
+        assert out["streamlines"].stat().st_size > 100
+        assert "streamlines_3d" in out and out["streamlines_3d"].exists()
+
+    def test_streamlines_3d_present_when_pyvista_complete(self, tmp_path,
+                                                          monkeypatch):
+        """Even a fully successful PyVista tier must not drop the
+        streamlines_3d artifact (it has no PyVista counterpart here)."""
+        monkeypatch.setitem(sys.modules, "pyvista", types.ModuleType("pv"))
+
+        def complete(fields, output_dir):
+            done = {}
+            for name in ("u", "v", "pressure", "vel-mag", "streamlines"):
+                p = tmp_path / f"{name}.png"
+                p.write_bytes(b"PYVISTA")
+                done[name] = p
+            return done
+
+        monkeypatch.setattr(R, "generate_field_plots_pyvista", complete)
+        out = R.generate_field_plots_auto(toy_fields(), tmp_path,
+                                          resample_n=64)
+        assert "streamlines_3d" in out and out["streamlines_3d"].exists()
+        for name in ("u", "v", "pressure", "vel-mag", "streamlines"):
+            assert (tmp_path / f"{name}.png").read_bytes() == b"PYVISTA"
+
 
 @pytest.mark.skipif(not R.pyvista_available(),
                     reason="pyvista not installed (optional render tier)")

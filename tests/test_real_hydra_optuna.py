@@ -14,14 +14,20 @@ import math
 
 import pytest
 
-hydra = pytest.importorskip(
-    "hydra", reason="hydra-core not installed (optional compat tier; "
-    "pip install hydra-core to exercise)")
-
 
 class TestStockHydraComposesConfTree:
     """Compose `conf/` through real Hydra and cross-check against the
-    repo's own composition engine on identical overrides."""
+    repo's own composition engine on identical overrides.
+
+    The importorskip is PER CLASS, not module-level: an environment with
+    optuna but not hydra-core must still run the TPE parity test below.
+    """
+
+    @pytest.fixture(autouse=True)
+    def _needs_hydra(self):
+        pytest.importorskip(
+            "hydra", reason="hydra-core not installed (optional compat "
+            "tier; pip install hydra-core to exercise)")
 
     @pytest.fixture()
     def conf_dir(self):

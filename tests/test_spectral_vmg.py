@@ -209,6 +209,31 @@ class TestVCycle:
         np.testing.assert_allclose(np.asarray(vmg.state.u),
                                    np.asarray(sg.state.u), atol=2e-3)
 
+    def test_cold_start_prelude_divergence_fallback(self, monkeypatch):
+        """A diverged prelude level must not crash the final prolongation
+        (round-4 review: an early break left the state several levels
+        below the finest and NaN-contaminated): the cascade falls back to
+        the level's finite warm start and prolongates through every
+        remaining transfer pair."""
+        from anap3_tpu.models import spectral_vmg as vmgmod
+        from anap3_tpu.models.runner import IterationResult
+
+        p = make_params(nx=48, ny=48, n_levels=3)  # [48, 24, 12] at Re=25
+        vmg = VMGSolver(params=p)
+        levels = vmgmod.build_vmg_levels(p)
+        assert len(levels) == 3
+
+        def fake_rfp(step, get_uv, state, **kw):
+            bad = jax.tree.map(lambda x: jnp.full_like(x, jnp.nan), state)
+            return IterationResult(state=bad, iterations=5, converged=False,
+                                   diverged=True, wall_time=0.0, history={})
+
+        monkeypatch.setattr(vmgmod, "run_fixed_point", fake_rfp)
+        st, total = vmg._cold_start_warm_state(levels, 1e-6, 100)
+        assert st.u.shape == levels[0].ops.bc_u.shape  # finest level
+        assert bool(jnp.all(jnp.isfinite(st.u)))
+        assert total == 5  # broke after the first (coarsest) level
+
     def test_warm_started_state_skips_prelude(self, monkeypatch, caplog):
         """A non-rest initial state must go straight to V-cycles."""
         import logging
