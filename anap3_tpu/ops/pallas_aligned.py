@@ -165,6 +165,11 @@ def _prep_aligned(ops: SpectralOps, algorithm: str):
             lo = (a32 - np.asarray(hi, np.float32)).astype(jnp.bfloat16)
             mats[name + "_hi"] = jnp.asarray(hi)
             mats[name + "_lo"] = jnp.asarray(lo)
+            if name in ("IyT", "GyT"):
+                # precomputed [hi | lo] column concat for right_hl (the
+                # doubled width hits exact 128-multiples at N in {192,320})
+                mats[name + "_hilo"] = jnp.asarray(
+                    np.concatenate([np.asarray(hi), np.asarray(lo)], axis=1))
         else:
             mats[name] = jnp.asarray(a32)
 
@@ -345,12 +350,13 @@ def make_aligned_chunk_runner(ops: SpectralOps, chunk: int, tolerance: float,
             u_c = eng.cache(su[:])
             v_c = eng.cache(sv[:])
             p_c = eng.cache(sp[:])
-            LU[:] = eng.left("DX2", u_c)      # [Dx@u ; Dxx@u] core
-            LV[:] = eng.left("DX2", v_c)
+            lu2, lv2 = eng.left2("DX2", u_c, v_c)  # [Dx@u;Dxx@u],[Dx@v;Dxx@v]
+            LU[:] = lu2
+            LV[:] = lv2
             if sing:                          # border-row rank-1 completions
                 LU[:] = LU[:] + refs["CLU"][:]
                 LV[:] = LV[:] + refs["CLV"][:]
-            LP[:] = eng.left("PX2", p_c)      # [a5 ; a6] core
+            LP[:] = eng.left_hl("PX2", p_c)      # [a5 ; a6] core
             a5_c = eng.cache(LP[0:nc, :])
             a6_c = eng.cache(LP[nc:2 * nc, :])
 
@@ -358,8 +364,8 @@ def make_aligned_chunk_runner(ops: SpectralOps, chunk: int, tolerance: float,
             RV = eng.right(v_c, "DY2")
             if sing:
                 RV = RV + refs["CV2"][:]
-            dpx = eng.right(a5_c, "IyT")
-            dpy = eng.right(a6_c, "GyT")
+            dpx = eng.right_hl(a5_c, "IyT")
+            dpy = eng.right_hl(a6_c, "GyT")
 
             u_b = su[:]
             v_b = sv[:]
@@ -418,8 +424,7 @@ def make_aligned_chunk_runner(ops: SpectralOps, chunk: int, tolerance: float,
             TV = eng.right(v_c, "RCOLS")
             T5 = eng.right(a5_c, "RCOLS")    # col 2: dpx column strip
             T6 = eng.right(a6_c, "RCOLS")    # col 3: dpy column strip
-            Lu8 = eng.left("LROWS", u_c)     # rows: Dx_bc@u, Dxx_bc@u
-            Lv8 = eng.left("LROWS", v_c)
+            Lu8, Lv8 = eng.left2("LROWS", u_c, v_c)  # Dx_bc@{u,v}, Dxx_bc@{u,v}
             Lp8 = eng.left("LROWS", p_c)     # rows 2,3: a5_bc, a6_bc
 
             # column strip (j = N): total v = 0 and total u is constant,
@@ -763,20 +768,21 @@ def make_aligned_tau_step(ops: SpectralOps, interpret: bool = False,
             u_c = eng.cache(su[:])
             v_c = eng.cache(sv[:])
             p_c = eng.cache(sp[:])
-            LU[:] = eng.left("DX2", u_c)
-            LV[:] = eng.left("DX2", v_c)
+            lu2, lv2 = eng.left2("DX2", u_c, v_c)
+            LU[:] = lu2
+            LV[:] = lv2
             if sing:
                 LU[:] = LU[:] + refs["CLU"][:]
                 LV[:] = LV[:] + refs["CLV"][:]
-            LP[:] = eng.left("PX2", p_c)
+            LP[:] = eng.left_hl("PX2", p_c)
             a5_c = eng.cache(LP[0:nc, :])
             a6_c = eng.cache(LP[nc:2 * nc, :])
             RU = eng.right(u_c, "DY2") + cu2
             RV = eng.right(v_c, "DY2")
             if sing:
                 RV = RV + refs["CV2"][:]
-            dpx = eng.right(a5_c, "IyT")
-            dpy = eng.right(a6_c, "GyT")
+            dpx = eng.right_hl(a5_c, "IyT")
+            dpy = eng.right_hl(a6_c, "GyT")
             u_b = su[:]
             v_b = sv[:]
             du_dx = LU[0:nc, :]
@@ -823,8 +829,7 @@ def make_aligned_tau_step(ops: SpectralOps, interpret: bool = False,
             TV = eng.right(v_c, "RCOLS")
             T5 = eng.right(a5_c, "RCOLS")
             T6 = eng.right(a6_c, "RCOLS")
-            Lu8 = eng.left("LROWS", u_c)
-            Lv8 = eng.left("LROWS", v_c)
+            Lu8, Lv8 = eng.left2("LROWS", u_c, v_c)
             Lp8 = eng.left("LROWS", p_c)
             du_dyy_cb = TU[:, 1:2] + col(_C_UCOL) * s(_DYYT_BB)
             R_u_cb = (-col(_C_CONVU) - T5[:, 2:3]

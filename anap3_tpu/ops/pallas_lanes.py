@@ -255,11 +255,10 @@ def make_lane_chunk_runner(ops_list, chunk: int, tolerance: float,
                     r = lane_rows(b)
                     u_b = su[r, :]
                     v_b = sv[r, :]
-                    LU = eng.left("DX2", u_c, rows=r)   # [Dx@u; Dxx@u]
-                    LV = eng.left("DX2", v_c, rows=r)
-                    LP = eng.left("PX2", p_c, rows=r)   # [Gx@p; Ix@p]
-                    dpx = eng.right(eng.cache(LP[0:nfp, :]), "IyT")
-                    dpy = eng.right(eng.cache(LP[nfp:2 * nfp, :]), "GyT")
+                    LU, LV = eng.left2("DX2", u_c, v_c, rows=r)  # merged
+                    LP = eng.left_hl("PX2", p_c, rows=r)  # [Gx@p; Ix@p]
+                    dpx = eng.right_hl(eng.cache(LP[0:nfp, :]), "IyT")
+                    dpy = eng.right_hl(eng.cache(LP[nfp:2 * nfp, :]), "GyT")
                     du_dx = LU[0:nfp, :]
                     dv_dx = LV[0:nfp, :]
                     du_dy = RU[r, 0:nfp]

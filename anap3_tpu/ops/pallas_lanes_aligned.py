@@ -222,9 +222,8 @@ def make_aligned_lane_runner(ops_list, chunk: int, tolerance: float,
             RV = eng.right(v_c, "DY2")
             for b in range(B):
                 r = lane(b)
-                LU = eng.left("DX2", u_c, rows=r)   # [Dx@u ; Dxx@u]
-                LV = eng.left("DX2", v_c, rows=r)
-                LP = eng.left("PX2", p_c, rows=r)   # [a5 ; a6]
+                LU, LV = eng.left2("DX2", u_c, v_c, rows=r)  # merged u|v
+                LP = eng.left_hl("PX2", p_c, rows=r)   # [a5 ; a6]
                 DU[r, :] = LU[0:nc, :]
                 LXU[r, :] = LU[nc:2 * nc, :]
                 DV[r, :] = LV[0:nc, :]
@@ -233,8 +232,8 @@ def make_aligned_lane_runner(ops_list, chunk: int, tolerance: float,
                 A6[r, :] = LP[nc:2 * nc, :]
             a5_c = eng.cache(A5[:])
             a6_c = eng.cache(A6[:])
-            DPX = eng.right(a5_c, "IyT")            # batched
-            DPY = eng.right(a6_c, "GyT")
+            DPX = eng.right_hl(a5_c, "IyT")            # batched
+            DPY = eng.right_hl(a6_c, "GyT")
             adt_col = jnp.concatenate(
                 [jnp.full((nc, 1), adts[b], f32) for b in range(B)])
             u_b = su[:]
@@ -276,8 +275,7 @@ def make_aligned_lane_runner(ops_list, chunk: int, tolerance: float,
                 TV = TV_all[r, :]
                 T5 = T5_all[r, :]
                 T6 = T6_all[r, :]
-                Lu8 = eng.left("LROWS", u_c, rows=r)
-                Lv8 = eng.left("LROWS", v_c, rows=r)
+                Lu8, Lv8 = eng.left2("LROWS", u_c, v_c, rows=r)
                 Lp8 = eng.left("LROWS", p_c, rows=r)
                 # column strip (j = N)
                 du_dyy_cb = TU[:, 1:2] + col(b, _C_UCOL) * s(b, _DYYT_BB)

@@ -150,6 +150,69 @@ class _DotEngine:
         return (_bf16_dot(a_hi[rows], o_hi[:]) + _bf16_dot(a_lo[rows], o_hi[:])
                 + _bf16_dot(a_hi[rows], o_lo[:]))
 
+    def left2(self, op_name, cached_a, cached_b, rows=slice(None)):
+        """operator @ [a | b]: one column-concatenated left dot for two
+        operands sharing the operator.
+
+        Column blocks of a matmul are computed independently (same MACs,
+        same accumulation order), so the two returned blocks are
+        BIT-IDENTICAL to two separate ``left`` calls — but the MXU sees a
+        single dot whose output width 2*nc hits an exact 128-multiple at
+        N in {192, 320} where the per-operand width pads 192->256 /
+        320->384 (measured +16% / +10% stage ceiling at those sizes; at
+        N % 128 == 0 the merge only halves dot issues)."""
+        if not self.x3:
+            ab = jnp.concatenate([cached_a[rows], cached_b[rows]], axis=1)
+            out = _f32_dot(self.ops[op_name][:], ab)
+            w = ab.shape[1] // 2
+            return out[:, 0:w], out[:, w:2 * w]
+        o_hi, o_lo = self.ops[op_name + "_hi"], self.ops[op_name + "_lo"]
+        a_hi, a_lo = cached_a
+        b_hi, b_lo = cached_b
+        ab_hi = jnp.concatenate([a_hi[rows], b_hi[rows]], axis=1)
+        ab_lo = jnp.concatenate([a_lo[rows], b_lo[rows]], axis=1)
+        out = (_bf16_dot(o_hi[:], ab_hi) + _bf16_dot(o_hi[:], ab_lo)
+               + _bf16_dot(o_lo[:], ab_hi))
+        w = ab_hi.shape[1] // 2
+        return out[:, 0:w], out[:, w:2 * w]
+
+    def left_hl(self, op_name, cached, rows=slice(None)):
+        """``left`` with the x3 hi/lo state passes column-concatenated:
+        ``o_hi @ [b_hi | b_lo]`` in one doubled-width dot plus the thin
+        ``o_lo @ b_hi``. The summands and their summation order are
+        unchanged — (o_hi@b_hi + o_hi@b_lo) + o_lo@b_hi — so the result is
+        BIT-IDENTICAL to ``left``; the doubled output width hits an exact
+        128-multiple at N in {192, 320} where the single width pads. Use
+        for single-operand lefts (the pressure core) where no ``left2``
+        partner exists; falls back to ``left`` under x6."""
+        if not self.x3:
+            return self.left(op_name, cached, rows)
+        o_hi, o_lo = self.ops[op_name + "_hi"], self.ops[op_name + "_lo"]
+        b_hi, b_lo = cached
+        hl = jnp.concatenate([b_hi[rows], b_lo[rows]], axis=1)
+        out1 = _bf16_dot(o_hi[:], hl)
+        w = hl.shape[1] // 2
+        return (out1[:, 0:w] + out1[:, w:2 * w]) + _bf16_dot(o_lo[:],
+                                                             b_hi[rows])
+
+    def right_hl(self, cached, op_name, rows=slice(None)):
+        """``right`` with the x3 hi/lo OPERATOR passes column-concatenated:
+        ``a_hi @ [o_hi | o_lo]`` in one doubled-width dot plus the thin
+        ``a_lo @ o_hi``. Summation order matches ``right`` —
+        (a_hi@o_hi + a_lo@o_hi) + a_hi@o_lo — so the result is
+        BIT-IDENTICAL; same N in {192, 320} padding rationale as
+        ``left_hl``. Requires the precomputed ``<op>_hilo`` concatenated
+        operator ref; falls back to ``right`` under x6."""
+        if not self.x3:
+            return self.right(cached, op_name, rows)
+        o_hi, o_lo = self.ops[op_name + "_hi"], self.ops[op_name + "_lo"]
+        hilo = self.ops[op_name + "_hilo"]
+        a_hi, a_lo = cached
+        out1 = _bf16_dot(a_hi[rows], hilo[:])
+        w = out1.shape[1] // 2
+        return (out1[:, 0:w] + _bf16_dot(a_lo[rows], o_hi[:])) \
+            + out1[:, w:2 * w]
+
 
 def _auto_blk(ops: SpectralOps, blk: int | None) -> int | None:
     """Row-block height heuristic: singular mode adds nine constant fields
@@ -209,6 +272,10 @@ def _pad_ops(ops: SpectralOps, blk: int | None, algorithm: str):
             lo = (a32 - np.asarray(hi, np.float32)).astype(jnp.bfloat16)
             mats[name + "_hi"] = jnp.asarray(hi)
             mats[name + "_lo"] = jnp.asarray(lo)
+            if name in ("IyT", "GyT"):
+                # precomputed [hi | lo] column concat for right_hl
+                mats[name + "_hilo"] = jnp.asarray(
+                    np.concatenate([np.asarray(hi), np.asarray(lo)], axis=1))
         else:
             mats[name] = jnp.asarray(a32)
     aux_names = list(_AUX_NAMES)
@@ -242,9 +309,10 @@ def _stage_machinery(refs, nfp, blk, algorithm):
         u_c = eng.cache(su[:])
         v_c = eng.cache(sv[:])
         p_c = eng.cache(sp[:])
-        LU[:] = eng.left("DX2", u_c)
-        LV[:] = eng.left("DX2", v_c)
-        LP[:] = eng.left("PX2", p_c)
+        lu2, lv2 = eng.left2("DX2", u_c, v_c)  # merged u|v left dot
+        LU[:] = lu2
+        LV[:] = lv2
+        LP[:] = eng.left_hl("PX2", p_c)
         a5_c = eng.cache(LP[0:nfp, :])
         a6_c = eng.cache(LP[nfp:2 * nfp, :])
 
@@ -261,8 +329,8 @@ def _stage_machinery(refs, nfp, blk, algorithm):
             dv_dy = RV[:, 0:nfp]
             lap_u = LU[r2, :] + RU[:, nfp:2 * nfp]
             lap_v = LV[r2, :] + RV[:, nfp:2 * nfp]
-            dp_dx = eng.right(a5_c, "IyT", r)
-            dp_dy = eng.right(a6_c, "GyT", r)
+            dp_dx = eng.right_hl(a5_c, "IyT", r)
+            dp_dy = eng.right_hl(a6_c, "GyT", r)
             du_dx = LU[r, :]
             dv_dx = LV[r, :]
             if sing:
