@@ -128,12 +128,14 @@ def make_fused_paths(ops, params, tol, metric: Optional[str] = None):
     # host-side). Only the build-time tier gate needs the mapped value.
     effective = "rel_iter" if metric == "energy" else metric
     # Conserved-quantity dots + residual border strips cost ~15-25% of an
-    # aligned step when sampled every step; sample them every 8th step
+    # aligned step when sampled every step; sample them every 16th step
     # instead (history rows hold the last sampled values — the 1000-point
     # downsample is far sparser, and the energy-plateau windows span
     # thousands of steps). The 'residual' criterion overrides this inside
-    # the kernel (it consumes the continuity norm every step).
-    ALIGNED_METRICS_EVERY = 8
+    # the kernel (it consumes the continuity norm every step). Measured
+    # 16 vs 8 on one v5e: N=128 B=1 +3.7% (236.8k vs 228.3k steps/s),
+    # N=96 B=32 lanes +2.1%; beyond 16 the remaining tax is < 1%.
+    ALIGNED_METRICS_EVERY = 16
     if ops.sing_u is not None:
         # singular subtraction: the bordered-core aligned kernel carries the
         # singular constants up to N=256 (~3.5x the tiled rate at the

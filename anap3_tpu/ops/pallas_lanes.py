@@ -89,8 +89,9 @@ def maybe_lane_runner(ops_list, params, mesh=None, log=None):
     # Prefer the lane-batched BORDERED-CORE kernel (round 4): the padded
     # tiled engine pays the ceil(+1) MXU tax per lane (59k aggregate at
     # N=128 B=8 vs 182k for ONE serial aligned solve, BENCH_r03); the
-    # aligned lane kernel removes it per lane. metrics_every=8 matches the
-    # production single-solve aligned tier (models/spectral.py).
+    # aligned lane kernel removes it per lane. metrics_every=16 matches the
+    # production single-solve aligned tier (models/spectral.py
+    # ALIGNED_METRICS_EVERY; 16-vs-8 measured +2.1% at N=96 B=32).
     from .pallas_lanes_aligned import (aligned_lanes_supported,
                                        make_aligned_lane_runner)
 
@@ -99,7 +100,7 @@ def maybe_lane_runner(ops_list, params, mesh=None, log=None):
             log.info("Lane-batched ALIGNED kernel: %d lanes of N=%d "
                      "(bordered cores) in one Pallas program", B, n)
         return lambda chunk, tol, warmup: make_aligned_lane_runner(
-            ops_list, chunk, tol, warmup, metrics_every=8)
+            ops_list, chunk, tol, warmup, metrics_every=16)
     if n > MAX_LANE_N:
         return None
     fit = suggest_lane_count(n, B)

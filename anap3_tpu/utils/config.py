@@ -36,6 +36,9 @@ import yaml
 __all__ = ["compose", "expand_multirun", "instantiate", "ConfigError", "Interval"]
 
 
+_MISSING = object()  # sentinel for strict-override existence checks
+
+
 class ConfigError(Exception):
     pass
 
@@ -194,7 +197,7 @@ def compose(conf_dir, overrides: Iterable[str] = (),
         elif (conf_dir / key).is_dir() and not add:
             group_over[key] = val
         else:
-            kv_over.append((key, _parse_value(val)))
+            kv_over.append((key, _parse_value(val), add))
 
     cfg: dict = {}
     self_done = False
@@ -230,7 +233,17 @@ def compose(conf_dir, overrides: Iterable[str] = (),
     for group, name in group_over.items():
         _compose_group(conf_dir, group, name, cfg, clear_package=True)
 
-    for key, val in kv_over:
+    for key, val, add in kv_over:
+        # Hydra parity: a plain key=value override must target an EXISTING
+        # key of the composed config — silently creating a new key hides
+        # typos and misplaced keys (e.g. ``convergence_metric=energy`` at
+        # the root instead of ``solver.convergence_metric`` would otherwise
+        # run the default criterion while looking accepted). ``+key=value``
+        # appends a new key, exactly like Hydra.
+        if not add and _get_path(cfg, key, default=_MISSING) is _MISSING:
+            raise ConfigError(
+                f"Could not override {key!r}: no such key in the composed "
+                f"config. To append a new key, use +{key}=...")
         _set_path(cfg, key, val)
     for key in deletions:
         _del_path(cfg, key)

@@ -86,7 +86,7 @@ def _roofline(n: int, steps_per_sec: float, lanes: int = 1,
     each stage runs 3 left dots of 2N*N*N MACs (DX2/PX2 stacks), 2 right
     dots of N*N*2N (DY2), and 2 pressure-gradient dots of N^3 — 12 N^3
     MACs/stage, 48 N^3 per step (decimated metrics/residual strips add
-    <1% at metrics_every=8 and are excluded). ``useful`` counts logical
+    <1% at metrics_every=16 and are excluded). ``useful`` counts logical
     f32 math; ``mxu`` counts the bf16 passes the x3 decomposition issues
     (3 per logical dot). MFU is mxu vs the device's bf16 peak — the gap
     that remains IS the optimization headroom (VPU elementwise, loop
@@ -141,11 +141,11 @@ def bench_device() -> tuple[float, dict]:
         from anap3_tpu.ops.pallas_tiled import make_tiled_chunk_runner
 
         if aligned_supported(N):
-            # metrics_every=8 matches the production tier selection
+            # metrics_every=16 matches the production tier selection
             # (models/spectral.py ALIGNED_METRICS_EVERY)
             runner = make_aligned_chunk_runner(ops, STEPS_PER_CALL, 1e-12,
                                                10, algorithm="x3",
-                                               metrics_every=8)
+                                               metrics_every=16)
         else:
             step_kind = "pallas-tiled-x3-chunk"
             runner = make_tiled_chunk_runner(ops, STEPS_PER_CALL, 1e-12, 10,
@@ -271,7 +271,7 @@ def bench_lanes(n: int = None, b_req: int = 8, window: float = 10.0) -> dict:
     Pallas program — the production multirun path for fused-kernel-eligible
     sweep groups (main.run_multirun_batched). Round 4 dispatches the
     lane-batched ALIGNED bordered-core kernel (ops/pallas_lanes_aligned.py,
-    metrics_every=8, matching maybe_lane_runner's production selection);
+    metrics_every=16, matching maybe_lane_runner's production selection);
     the padded tiled lane kernel is the fallback."""
     import jax
     import jax.numpy as jnp
@@ -301,7 +301,7 @@ def bench_lanes(n: int = None, b_req: int = 8, window: float = 10.0) -> dict:
     if PLA.aligned_lanes_supported(ops_list):
         lane_kind = "pallas-lanes-aligned-x3"
         runner = PLA.make_aligned_lane_runner(ops_list, CHUNK, 1e-12, 10,
-                                              metrics_every=8)
+                                              metrics_every=16)
     else:
         lane_kind = "pallas-lanes-tiled-x3"
         runner = PL.make_lane_chunk_runner(ops_list, CHUNK, 1e-12, 10)
@@ -477,7 +477,7 @@ def bench_stretch(n: int = 256) -> dict:
     CH = 2000
     if aligned_supported(n):
         runner = make_aligned_chunk_runner(ops, CH, 1e-12, 10,
-                                           algorithm="x3", metrics_every=8)
+                                           algorithm="x3", metrics_every=16)
     else:
         runner = make_tiled_chunk_runner(ops, CH, 1e-12, 10, algorithm="x3",
                                          metrics_every=8)
@@ -486,19 +486,25 @@ def bench_stretch(n: int = 256) -> dict:
     state, *_ = runner(state, jnp.int32(0), ref)
     _sync(state.u)
     compile_s = time.time() - t0
+    # sync every 16 chunks: at the faster stretch sizes a 4-chunk cadence
+    # spent a measurable share of the window inside the remote tunnel's
+    # sync RTT (N=192 measured 49.4k at 4 vs 59.0k in a 40-cadence probe);
+    # the headline stage already syncs every 40 calls for the same reason
+    SYNC_EVERY = 16
     n_calls, it = 0, CH
     t0 = time.time()
     while time.time() - t0 < TARGET_SECONDS:
         state, *_ = runner(state, jnp.int32(it), ref)
         it += CH
         n_calls += 1
-        if n_calls % 4 == 0:
+        if n_calls % SYNC_EVERY == 0:
             _sync(state.u)
     _sync(state.u)
     rate = n_calls * CH / (time.time() - t0)
     out = {
         f"spectral_N{n}_steps_per_sec": round(rate, 1),
         f"spectral_N{n}_compile_seconds": round(compile_s, 2),
+        f"spectral_N{n}_sync_every_chunks": SYNC_EVERY,
         **{f"spectral_N{n}_" + k: v for k, v in _roofline(n, rate).items()},
     }
     if n == 256:

@@ -42,6 +42,24 @@ class TestConfig:
                                "solver.corner_smoothing=0.25"])
         assert cfg["solver"]["corner_smoothing"] == 0.25
 
+    def test_unknown_override_rejected(self):
+        # Hydra parity: a plain key=value override must hit an existing
+        # key — silently creating one hides typos (a real near-miss:
+        # `convergence_metric=energy` at the root instead of
+        # `solver.convergence_metric` ran the default criterion while
+        # looking accepted).
+        with pytest.raises(C.ConfigError, match="no such key"):
+            C.compose(CONF, ["solver=spectral/sg",
+                             "convergence_metric=energy"])
+        with pytest.raises(C.ConfigError, match="no such key"):
+            C.compose(CONF, ["solver=spectral/sg", "solvr.CFL=1.0"])
+
+    def test_plus_override_appends(self):
+        cfg = C.compose(CONF, ["solver=spectral/sg", "+new_knob=3"])
+        assert cfg["new_knob"] == 3
+        cfg = C.compose(CONF, ["solver=spectral/sg", "+solver.extra=a"])
+        assert cfg["solver"]["extra"] == "a"
+
     def test_experiment_overlay(self):
         cfg = C.compose(CONF, ["+experiment/validation/ghia=spectral"])
         assert cfg["experiment_name"] == "LDC-GHIA-PLOTS"
