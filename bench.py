@@ -428,12 +428,19 @@ def bench_fv() -> dict:
     _sync(state.u)
     compile_s = time.time() - t0
 
+    # sync every 64 calls: at CHUNK=50 an 8-call cadence hard-synced every
+    # ~400 iterations against the remote tunnel's 10-40 ms RTT, which
+    # DOMINATED the measurement — the kernel itself runs 29.9k it/s
+    # (33.4 us/iter, measured at a 3200-iteration sync cadence) while the
+    # 8-call cadence recorded 9.0-12.0k with run-to-run tunnel variance.
+    # 64 calls = 3200 iterations ~ 107 ms of device work per sync.
+    SYNC_EVERY = 64
     n_calls = 0
     t0 = time.time()
     while time.time() - t0 < TARGET_SECONDS:
         state = run_chunk(state)
         n_calls += 1
-        if n_calls % 8 == 0:
+        if n_calls % SYNC_EVERY == 0:
             _sync(state.u)
     _sync(state.u)
     rate = n_calls * CHUNK / (time.time() - t0)
@@ -446,6 +453,7 @@ def bench_fv() -> dict:
         "fv_N128_simple_iters_per_sec": round(rate, 1),
         "fv_step_kind": step_kind,
         "fv_dtype": params.dtype,
+        "fv_sync_every_calls": SYNC_EVERY,
         "fv_compile_seconds": round(compile_s, 2),
         "fv_vs_cpu_f64": round(rate / 237.0, 2),
         "fv_final_u_finite": bool(np.isfinite(np.asarray(state.u)).all()),
