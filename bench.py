@@ -520,6 +520,50 @@ def bench_stretch(n: int = 256) -> dict:
     return out
 
 
+def bench_multichip() -> dict:
+    """Multi-chip scaling stage (VERDICT r4 #3).
+
+    With >1 real device visible this measures genuine scaling efficiency
+    in-process (sweep-sharded lane rate + x-sharded solve rate vs one
+    device). With a single chip — this image's situation — it runs the same
+    measurement on a virtual 8-device CPU mesh in a subprocess, so the
+    mechanism stays exercised and the keys exist; those values are labeled
+    ``dryrun-cpu8`` (virtual devices share host cores, efficiency numbers
+    are NOT hardware claims).
+    """
+    import os
+    import subprocess
+
+    import jax
+
+    if len(jax.devices()) > 1:
+        from anap3_tpu.parallel.scaling import measure_scaling
+
+        # nf = n+1 must divide the device count; 64-row grid covers d<=8
+        vals = measure_scaling(jax.devices(), n=63, b_per_dev=2,
+                               chunk=200, calls=3)
+        mode = "real"
+    else:
+        repo = Path(__file__).resolve().parent
+        env = {
+            "PATH": os.environ.get("PATH", "/usr/bin:/bin"),
+            "HOME": os.environ.get("HOME", "/root"),
+            "PYTHONPATH": str(repo),
+            "JAX_PLATFORMS": "cpu",
+            "XLA_FLAGS": "--xla_force_host_platform_device_count=8",
+        }
+        proc = subprocess.run(
+            [sys.executable, "-m", "anap3_tpu.parallel.scaling"],
+            cwd=repo, env=env, capture_output=True, text=True, timeout=600)
+        if proc.returncode != 0:
+            return {"multichip_error": proc.stderr[-200:]}
+        vals = json.loads(proc.stdout.strip().splitlines()[-1])
+        mode = "dryrun-cpu8"
+    out = {"multichip_mode": mode}
+    out.update({f"multichip_{k}": v for k, v in vals.items()})
+    return out
+
+
 def _device_available(timeout_s: int = 600) -> bool:
     """Probe TPU reachability in a SUBPROCESS with a hard timeout.
 
@@ -606,6 +650,11 @@ def main():
         fv_extras.update(bench_lanes(n=96, b_req=32, window=6.0))
     except Exception as exc:
         fv_extras["lanes_wide_error"] = repr(exc)[:200]
+    _stage("multichip scaling")
+    try:
+        fv_extras.update(bench_multichip())
+    except Exception as exc:
+        fv_extras["multichip_error"] = repr(exc)[:200]
     _stage("done")
     result = {
         "metric": f"spectral_N{N}_rk4_timesteps_per_sec",

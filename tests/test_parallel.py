@@ -444,3 +444,32 @@ class TestCrossProcessDistributed:
             assert r["global_devices"] == 4
             assert r["converged"] == r["lanes"] == 4
         assert res[0]["iterations"] == res[1]["iterations"]
+
+
+class TestScaling:
+    """parallel/scaling.py: the multi-chip efficiency measurement harness."""
+
+    def test_measure_scaling_keys_and_sanity(self):
+        if len(jax.devices()) < 2:
+            pytest.skip("needs >=2 (virtual) devices")
+        from anap3_tpu.parallel.scaling import measure_scaling
+
+        devs = jax.devices()[:2]
+        out = measure_scaling(devs, n=15, b_per_dev=1, chunk=10, calls=2)
+        assert out["n_devices"] == 2
+        for key in ("sweep_rate_1dev", "sweep_rate_2dev",
+                    "sweep_aggregate_speedup", "sweep_weak_efficiency_pct",
+                    "tp_rate_1dev", "tp_rate_2dev", "tp_speedup",
+                    "tp_strong_efficiency_pct"):
+            assert key in out, key
+            assert np.isfinite(out[key]), (key, out[key])
+        assert out["sweep_rate_1dev"] > 0
+        assert out["tp_rate_1dev"] > 0
+
+    def test_tp_scaling_rejects_indivisible_grid(self):
+        if len(jax.devices()) < 3:
+            pytest.skip("needs >=3 (virtual) devices")
+        from anap3_tpu.parallel.scaling import measure_tp_scaling
+
+        with pytest.raises(ValueError, match="divide"):
+            measure_tp_scaling(jax.devices()[:3], n=15)
