@@ -366,8 +366,90 @@ def bench_lanes(n: int = None, b_req: int = 8, window: float = 10.0) -> dict:
     }
 
 
+def _measure_vpu_tflops(seconds: float = 2.0) -> float:
+    """Measured f32 elementwise peak (TFLOP/s) via a VMEM-resident Pallas
+    FMA chain — the denominator for the FV stencil roofline.
+
+    The chain alternates ``x*a + b`` and ``x*x + b`` so no two steps are
+    jointly affine (an affine pair folds: measured 31 TFLOP/s folded vs
+    14.1 honest on v5e, 2026-08-20). Convention: FMA = 2 flops — the same
+    convention the FV flop model uses. The 14.1 TFLOP/s v5e result matches
+    8x128 lanes x 4 ALUs x 2 (FMA) at ~1.7 GHz.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    M, INNER = 256, 4096
+
+    def kernel(x_ref, a_ref, b_ref, o_ref):
+        a, b = a_ref[...], b_ref[...]
+
+        def body(_i, x):
+            x = x * a + b
+            x = x * x + b
+            return x
+
+        o_ref[...] = jax.lax.fori_loop(0, INNER // 2, body, x_ref[...])
+
+    @jax.jit
+    def run(x, a, b):
+        return pl.pallas_call(
+            kernel, out_shape=jax.ShapeDtypeStruct((M, M), jnp.float32),
+        )(x, a, b)
+
+    a = jnp.full((M, M), 0.5, jnp.float32)
+    b = jnp.full((M, M), 0.25, jnp.float32)
+    x = run(jnp.full((M, M), 0.5, jnp.float32), a, b)
+    _sync(x)
+    best = 0.0
+    for _ in range(3):
+        t0 = time.time()
+        calls = 0
+        while time.time() - t0 < seconds / 3:
+            x = run(x, a, b)
+            calls += 1
+        _sync(x)
+        best = max(best, 2.0 * M * M * INNER * calls
+                   / (time.time() - t0) / 1e12)
+    return best
+
+
+def _fv_flop_model(n: int, k_inner: int, n_refine: int) -> tuple[float, float]:
+    """(vpu_flops, mxu_macs) per fused SIMPLE iteration.
+
+    Hand count of ops/pallas_fv.py:_make_iterate arithmetic (1 flop per
+    elementwise op, FMA = 2 — the _measure_vpu_tflops convention; shifts
+    and selects-by-mask counted 1, data movement 0):
+
+    - per BiCGSTAB iteration (joint u/v): 5 dot2 reductions (4 N^2 each),
+      2 A() applies (18 N^2), preconditioner + vector updates + freeze
+      selects (~34 N^2)  ->  ~96 N^2
+    - outside the loop: initial residuals/rhs (~40), momentum
+      coefficients + deferred correction (~50), Rhie-Chow + mdot (~30),
+      divergence/means (~15), corrections (~20), gradients (2x cell + 3x
+      fd ghost, ~80), metrics quadratures (~35)  ->  ~270 N^2
+
+    MXU: the direct pressure solve is 4 dense (N,N)@(N,N) dots per
+    psolve call -> 4 N^3 MACs, (1 + n_refine) calls, plus the refinement
+    residual's 2 N^3 (A1 @ p', p' @ A2^T)  ->  (4 + 6*n_refine) N^3.
+    """
+    vpu = (96.0 * k_inner + 270.0) * n * n
+    mxu = (4.0 + 6.0 * n_refine) * n ** 3
+    return vpu, mxu
+
+
 def bench_fv() -> dict:
-    """FV-SIMPLE iterations/sec at N=128 in the device-native dtype.
+    """FV-SIMPLE iterations/sec at N=128 on the PRODUCTION path.
+
+    Measures ops/pallas_fv.py:make_pallas_fv_chunk_runner — whole chunks
+    of SIMPLE iterations plus the convergence state machine in ONE kernel
+    launch, state resident in VMEM across iterations — which is exactly
+    what FVSolver.solve dispatches on TPU (models/fv.py:380-385). Rounds
+    2-4 measured the one-kernel-per-iteration step inside a host-side
+    scan, which pays an HBM state round-trip + launch per iteration and
+    read 30.6k it/s where the production runner does ~43k (measured
+    2026-08-20: chunk 500 and 2000 both 42.9-43.0k it/s).
 
     The comparable number is the float64 CPU rate of THIS solver (the
     reference's scipy/PyAMG loop is strictly slower than our vectorized
@@ -393,48 +475,44 @@ def bench_fv() -> dict:
                   p=jnp.zeros((N, N), dt), mx=jnp.zeros((N, N - 1), dt),
                   my=jnp.zeros((N - 1, N), dt))
 
-    CHUNK = 50
-
-    # production TPU path: the fused SIMPLE-step kernel (ops/pallas_fv.py);
-    # XLA step elsewhere
-    step_kind = "pallas-fused"
+    # production chunk/tolerance/warmup (conf/solver/fv.yaml chunk_size,
+    # runner.WARMUP_ITERS) so the compiled program is byte-identical to a
+    # real solve's and the persistent compile cache is shared with
+    # bench_fv_walls. Convergence mid-window is harmless for timing: done
+    # lanes keep iterating (the kernel computes then discards), so the
+    # per-iteration work is unchanged.
+    CHUNK, SYNC_EVERY = 1000, 4
+    step_kind = "pallas-chunk"
     try:
-        from anap3_tpu.ops.pallas_fv import make_pallas_fv_step
+        from anap3_tpu.ops.pallas_fv import make_pallas_fv_chunk_runner
+        from anap3_tpu.models.runner import WARMUP_ITERS
 
         if params.dtype != "float32" or jax.default_backend() != "tpu":
             raise ValueError("fused FV kernel is the TPU float32 path")
-        fstep = make_pallas_fv_step(params, ops,
-                                    bicgstab_iters=params.fv_inner_iters)
+        chunk_fn = make_pallas_fv_chunk_runner(
+            params, ops, CHUNK, params.tolerance, WARMUP_ITERS,
+            bicgstab_iters=int(params.fv_inner_iters))
 
-        def one(s):
-            s2, _m = fstep(s)
-            return s2
+        def run_chunk(state):
+            s, *_rest = chunk_fn(state, jnp.int32(0), jnp.float32(1.0))
+            return s
     except Exception:
         step_kind = "xla"
+        CHUNK, SYNC_EVERY = 50, 64
 
-        def one(s):
-            s2, _m = fv_step(ops, s)
-            return s2
-
-    @jax.jit
-    def run_chunk(state):
-        def body(s, _):
-            return one(s), ()
-        s, _ = jax.lax.scan(body, state, None, length=CHUNK)
-        return s
+        @jax.jit
+        def run_chunk(state):
+            def body(s, _):
+                s2, _m = fv_step(ops, s)
+                return s2, ()
+            s, _ = jax.lax.scan(body, state, None, length=CHUNK)
+            return s
 
     t0 = time.time()
     state = run_chunk(st0)
     _sync(state.u)
     compile_s = time.time() - t0
 
-    # sync every 64 calls: at CHUNK=50 an 8-call cadence hard-synced every
-    # ~400 iterations against the remote tunnel's 10-40 ms RTT, which
-    # DOMINATED the measurement — the kernel itself runs 29.9k it/s
-    # (33.4 us/iter, measured at a 3200-iteration sync cadence) while the
-    # 8-call cadence recorded 9.0-12.0k with run-to-run tunnel variance.
-    # 64 calls = 3200 iterations ~ 107 ms of device work per sync.
-    SYNC_EVERY = 64
     n_calls = 0
     t0 = time.time()
     while time.time() - t0 < TARGET_SECONDS:
@@ -444,22 +522,80 @@ def bench_fv() -> dict:
             _sync(state.u)
     _sync(state.u)
     rate = n_calls * CHUNK / (time.time() - t0)
-    # MXU FLOP model per SIMPLE iteration: the direct pressure solve's
-    # dense tensor-product dots (4 N^3 MACs per solve, 1 + n_refine
-    # solves at f32 HIGHEST); momentum BiCGSTAB is stencil/VPU work and
-    # excluded, so fv mfu reads as "pressure-solve MXU utilization"
-    fv_macs = 4.0 * N ** 3 * (1 + ops.n_refine)
-    return {
+    iter_us = 1e6 / rate
+
+    # roofline (VERDICT r4 #5): analytic VPU/MXU flop model of the fused
+    # iteration vs MEASURED peaks, so the it/s number is auditable like
+    # the spectral stages. MXU = pressure-solve dots at f32 HIGHEST (6
+    # bf16 passes); everything else is VPU stencil/reduction work.
+    vpu_flops, mxu_macs = _fv_flop_model(
+        N, int(params.fv_inner_iters), int(ops.n_refine))
+    out = {
         "fv_N128_simple_iters_per_sec": round(rate, 1),
+        "fv_iter_us": round(iter_us, 2),
         "fv_step_kind": step_kind,
         "fv_dtype": params.dtype,
-        "fv_sync_every_calls": SYNC_EVERY,
+        "fv_chunk": CHUNK,
         "fv_compile_seconds": round(compile_s, 2),
         "fv_vs_cpu_f64": round(rate / 237.0, 2),
         "fv_final_u_finite": bool(np.isfinite(np.asarray(state.u)).all()),
+        "fv_vpu_flops_per_iter": round(vpu_flops / 1e6, 2),
+        "fv_mxu_macs_per_iter": round(mxu_macs / 1e6, 2),
         **{"fv_" + k: v for k, v in _roofline(
-            N, rate, algorithm="f32", macs_per_step=fv_macs).items()},
+            N, rate, algorithm="f32", macs_per_step=mxu_macs).items()},
     }
+    try:
+        vpu_peak = _measure_vpu_tflops()
+        mxu_peak = _peak_tflops(str(jax.devices()[0])) or 197.0
+        vpu_bound_us = vpu_flops / vpu_peak / 1e6
+        mxu_bound_us = 2.0 * mxu_macs * 6.0 / mxu_peak / 1e6
+        out.update({
+            "fv_vpu_tflops_meas": round(vpu_peak, 1),
+            "fv_vpu_bound_us": round(vpu_bound_us, 2),
+            "fv_mxu_bound_us": round(mxu_bound_us, 2),
+            # fraction of the pure-compute speed of light achieved; the
+            # remainder is dependency latency: ~170 serialized full-array
+            # reductions/iter on 128x128 arrays (5 dot2 x 16 BiCGSTAB
+            # iters + norms), measured 5.3 us fixed + 1.2 us per BiCGSTAB
+            # iteration (2026-08-20 K-decomposition, STATUS.md)
+            "fv_compute_sol_pct": round(
+                100.0 * (vpu_bound_us + mxu_bound_us) / iter_us, 1),
+        })
+    except Exception as exc:
+        out["fv_vpu_probe_error"] = repr(exc)[:120]
+    return out
+
+
+def bench_fv_walls() -> dict:
+    """End-to-end FV solve walls at N=128 (VERDICT r4 #5): the full
+    production FVSolver.solve at the reference truth-run settings
+    (tol=1e-6 — data/validation/fv/*/config.yaml), current kernels.
+
+    Round-2 walls (6.5-6.9 s) predate the chunk-runner and the 43k it/s
+    rate; these keys keep them fresh every round.
+    """
+    from anap3_tpu.models.fv import FVSolver
+    from anap3_tpu.models.params import FVParameters, resolve_dtype
+
+    out = {}
+    for re_ in (100.0, 1000.0):
+        params = FVParameters(
+            name="fv", Re=re_, nx=N, ny=N, convection_scheme="TVD",
+            limiter="MUSCL", alpha_uv=0.4, alpha_p=0.2,
+            linear_solver_tol=1e-9, corner_treatment="none", dtype="auto",
+            tolerance=1e-6, max_iterations=60000)
+        params.dtype = resolve_dtype(params.dtype)
+        solver = FVSolver(params)
+        t0 = time.time()
+        solver.solve()
+        wall = time.time() - t0
+        m = solver.metrics
+        tag = f"fv_N{N}_Re{int(re_)}"
+        out[f"{tag}_wall_s"] = round(wall, 2)
+        out[f"{tag}_iters"] = int(m.iterations)
+        out[f"{tag}_done"] = bool(m.converged or m.stalled)
+        out[f"{tag}_final_rel_iter"] = float(f"{m.final_residual:.3e}")
+    return out
 
 
 def bench_stretch(n: int = 256) -> dict:
@@ -628,6 +764,11 @@ def main():
         fv_extras = bench_fv()
     except Exception as exc:  # FV bench must not kill the primary metric
         fv_extras = {"fv_error": repr(exc)[:200]}
+    _stage("fv end-to-end walls")
+    try:
+        fv_extras.update(bench_fv_walls())
+    except Exception as exc:
+        fv_extras["fv_walls_error"] = repr(exc)[:200]
     # stretch + the other aligned-tier sizes the product recommends
     # (VERDICT r3 #2: the fast tier must not exist only at benchmark sizes)
     for n_extra in (192, 256, 320):

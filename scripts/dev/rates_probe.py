@@ -43,11 +43,70 @@ def sync(x):
     return float(jnp.sum(jnp.where(jnp.isfinite(x), x, 0.0)))
 
 
+def dots_probe(n: int, seconds: float) -> None:
+    """Pure-MXU speed-of-light ladder point for the aligned tier (#r4-7).
+
+    Measures the x3 engine's DOMINANT dot shape in isolation — the merged
+    left2 product (n, n) @ (n, 2n) with per-iteration state hi/lo split,
+    exactly as pallas_tiled._DotEngine issues it — so the achieved bf16
+    TFLOP/s IS the hardware ceiling for that contraction size (including
+    the k = n % 128 padding tax at n in {192, 320}). Whatever MFU this
+    prints is the speed of light the full solver kernel at the same N
+    should be compared against.
+    """
+    from jax.experimental import pallas as pl
+
+    T = 256
+    rng = np.random.default_rng(0)
+    A = (rng.standard_normal((n, n)) * 0.01).astype(np.float32)
+    U0 = rng.standard_normal((n, 2 * n)).astype(np.float32)
+    a_hi = jnp.asarray(A, jnp.bfloat16)
+    a_lo = jnp.asarray(A - np.asarray(a_hi, np.float32), jnp.bfloat16)
+
+    def kernel(ahi_ref, alo_ref, u_ref, o_ref):
+        ahi, alo = ahi_ref[...], alo_ref[...]
+
+        def body(_i, u):
+            uhi = u.astype(jnp.bfloat16)
+            ulo = (u - uhi.astype(jnp.float32)).astype(jnp.bfloat16)
+            out = (jnp.dot(ahi, uhi, preferred_element_type=jnp.float32)
+                   + jnp.dot(ahi, ulo, preferred_element_type=jnp.float32)
+                   + jnp.dot(alo, uhi, preferred_element_type=jnp.float32))
+            return out * jnp.float32(0.999)
+
+        o_ref[...] = jax.lax.fori_loop(0, T, body, u_ref[...])
+
+    @jax.jit
+    def run(u):
+        return pl.pallas_call(
+            kernel, out_shape=jax.ShapeDtypeStruct((n, 2 * n), jnp.float32),
+        )(a_hi, a_lo, u)
+
+    u = run(jnp.asarray(U0))
+    sync(u)
+    macs_per_call = 3.0 * (n * n * 2 * n) * T  # bf16 MXU passes
+    best = 0.0
+    for _ in range(3):
+        t0 = time.time()
+        calls = 0
+        while time.time() - t0 < seconds / 3:
+            u = run(u)
+            calls += 1
+        sync(u)
+        tfl = 2.0 * macs_per_call * calls / (time.time() - t0) / 1e12
+        best = max(best, tfl)
+        print(f"  {tfl:.1f} bf16 TFLOP/s", flush=True)
+    print(f"dots N={n}: {best:.1f} bf16 TFLOP/s = "
+          f"{100.0 * best / 197.0:.1f}% of v5e peak "
+          f"(x3 left2 shape ({n},{n})@({n},{2 * n}), hi/lo split included)",
+          flush=True)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--kind", default="aligned",
                     choices=["aligned", "tiled", "lanes", "lanes-aligned",
-                             "xla"])
+                             "xla", "dots"])
     ap.add_argument("--n", type=int, default=128)
     ap.add_argument("--b", type=int, default=8)
     ap.add_argument("--re", type=float, default=1000.0)
@@ -58,6 +117,10 @@ def main():
     ap.add_argument("--sync-every", type=int, default=4,
                     help="hard device sync every K chunks (bench headline uses 40x5000 steps)")
     a = ap.parse_args()
+
+    if a.kind == "dots":
+        dots_probe(a.n, max(a.seconds, 3.0))
+        return
 
     lanes = a.kind.startswith("lanes")
     B = a.b if lanes else 1
