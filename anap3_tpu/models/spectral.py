@@ -143,7 +143,8 @@ def make_fused_paths(ops, params, tol, metric: Optional[str] = None):
         # untiled x6 kernel assumes zero/lid-only borders — never singular.
         if n > MAX_TILED_N:
             return None, None
-        step = make_tiled_sg_step(ops, algorithm=alg)
+        step = make_tiled_sg_step(
+            ops, algorithm="x3" if alg == "x1" else alg)
         m_every = 1 if n <= MAX_FUSED_N else 8
         if aligned_supported(n, singular=True):
             m_every = ALIGNED_METRICS_EVERY
@@ -151,6 +152,10 @@ def make_fused_paths(ops, params, tol, metric: Optional[str] = None):
                 ops, chunk, tol_, WARMUP_ITERS, algorithm=alg,
                 convergence_metric=metric_, metrics_every=m_every)
             return step, factory
+        if alg == "x1":
+            log.warning("matmul_algorithm=x1 covers only the aligned tier; "
+                        "singular N=%d runs x3", n)
+            alg = "x3"
         # the nine singular constant fields squeeze the N>192 VMEM budget;
         # the rows buffer (chunk x 7 f32, lane-padded to 128) must shrink.
         # The cap is ADVERTISED via factory.max_chunk so the solvers clamp
@@ -173,12 +178,19 @@ def make_fused_paths(ops, params, tol, metric: Optional[str] = None):
     elif aligned_supported(n):
         # bordered-core MXU-aligned tier (N % 8 == 0, 32 <= N <= 320): state
         # rides a padding-free core, borders are per-run constants — ~4x the
-        # tiled rate at N=128 (183k vs 48k steps/s), ~2x at N=256 (31.6k)
-        step = make_tiled_sg_step(ops, algorithm=alg)
+        # tiled rate at N=128 (183k vs 48k steps/s), ~2x at N=256 (31.6k).
+        # x1 (single-bf16-pass dots, explicit opt-in) exists only in the
+        # aligned chunk kernel; the per-step fallback keeps x3 accuracy.
+        step = make_tiled_sg_step(
+            ops, algorithm="x3" if alg == "x1" else alg)
         factory = lambda chunk, tol_, metric_: make_aligned_chunk_runner(
             ops, chunk, tol_, WARMUP_ITERS, algorithm=alg,
             convergence_metric=metric_, metrics_every=ALIGNED_METRICS_EVERY)
     elif n <= MAX_TILED_N:
+        if alg == "x1":
+            log.warning("matmul_algorithm=x1 covers only the aligned tier "
+                        "(N %% 8 == 0, 32 <= N <= 320); N=%d runs x3", n)
+            alg = "x3"
         step = make_tiled_sg_step(ops, algorithm=alg)
         # above the N=192 tier the conserved-quantity dots cost ~8% of the
         # step; sample them every 8th step (history rows carry the last

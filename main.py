@@ -416,15 +416,21 @@ def _lane_kernel_split(jobs):
     if any(str(cfg["solver"].get("dtype", "auto")).lower()
            not in ("auto", "float32") for cfg in jobs):
         return None
-    if any(str(cfg["solver"].get("corner_treatment", "smoothing")).lower()
-           == "singular" for cfg in jobs):
+    # the lane kernel carries singular lanes (round 5) but needs a
+    # uniform corner mode across a program — mixed batches vmap whole
+    modes = {str(cfg["solver"].get("corner_treatment",
+                                   "smoothing")).lower() == "singular"
+             for cfg in jobs}
+    if len(modes) > 1:
         return None
+    singular = modes.pop()
     from anap3_tpu.ops.pallas_aligned import aligned_supported
     from anap3_tpu.ops.pallas_lanes_aligned import suggest_aligned_lane_count
 
     n = int(jobs[0]["N"])
-    fit = suggest_aligned_lane_count(n, len(jobs))
-    if not aligned_supported(n) or fit >= len(jobs) or fit < 2:
+    fit = suggest_aligned_lane_count(n, len(jobs), singular=singular)
+    if not aligned_supported(n, singular=singular) \
+            or fit >= len(jobs) or fit < 2:
         return None
     n_parts = -(-len(jobs) // fit)
     size = -(-len(jobs) // n_parts)

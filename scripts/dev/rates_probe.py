@@ -114,6 +114,9 @@ def main():
     ap.add_argument("--chunk", type=int, default=2000)
     ap.add_argument("--seconds", type=float, default=6.0)
     ap.add_argument("--metrics-every", type=int, default=8)
+    ap.add_argument("--alg", default="x3", choices=["x1", "x3", "x6"],
+                    help="matmul algorithm (x1 = the single-bf16-pass "
+                         "experiment; aligned kinds only)")
     ap.add_argument("--sync-every", type=int, default=4,
                     help="hard device sync every K chunks (bench headline uses 40x5000 steps)")
     a = ap.parse_args()
@@ -134,6 +137,7 @@ def main():
             from anap3_tpu.ops.pallas_lanes_aligned import \
                 make_aligned_lane_runner
             run = make_aligned_lane_runner(ops_list, a.chunk, 1e-12, 10,
+                                           algorithm=a.alg,
                                            metrics_every=a.metrics_every)
         else:
             from anap3_tpu.ops.pallas_lanes import make_lane_chunk_runner
@@ -145,6 +149,7 @@ def main():
             from anap3_tpu.ops.pallas_aligned import \
                 make_aligned_chunk_runner
             run = make_aligned_chunk_runner(ops, a.chunk, 1e-12, 10,
+                                            algorithm=a.alg,
                                             metrics_every=a.metrics_every)
         elif a.kind == "tiled":
             from anap3_tpu.ops.pallas_tiled import make_tiled_chunk_runner

@@ -38,11 +38,39 @@ def main():
     ap.add_argument("--tol", type=float, default=1e-6)
     ap.add_argument("--budget", type=int, default=400000)
     ap.add_argument("--metric", default="auto")
+    ap.add_argument("--alg", default="auto",
+                    help="matmul_algorithm (x1/x3/x6/auto)")
+    ap.add_argument("--levels", type=int, default=3, help="n_levels")
+    ap.add_argument("--coarsest", type=int, default=None,
+                    help="FORCE the hierarchy's coarsest order (bypasses "
+                         "the FAS resolution floor — the floor-bracketing "
+                         "experiment, VERDICT r4 #8)")
+    ap.add_argument("--save-npz", default=None,
+                    help="save converged fields (x/y/u/v) + raw state "
+                         "(su/sv/sp) to this path")
+    ap.add_argument("--compare-npz", default=None,
+                    help="print relative L2 drift of u/v vs a state saved "
+                         "with --save-npz at the same N/basis")
+    ap.add_argument("--init-npz", default=None,
+                    help="warm-start from the raw state (su/sv/sp) of a "
+                         "--save-npz file at the same N (isolates the FAS "
+                         "floor-bias drift from cold-start effects)")
     a = ap.parse_args()
+
+    import numpy as np
 
     from anap3_tpu.models.params import SpectralParameters
     from anap3_tpu.models.spectral import FSGSolver, SGSolver
+    from anap3_tpu.models import spectral_vmg
     from anap3_tpu.models.spectral_vmg import FMGSolver, VMGSolver
+
+    if a.coarsest is not None:
+        orig_build = spectral_vmg.build_vmg_levels
+
+        def forced_build(params, n_fine=None, coarsest_n=None):
+            return orig_build(params, n_fine, int(a.coarsest))
+
+        spectral_vmg.build_vmg_levels = forced_build
 
     cls = {"vmg": VMGSolver, "fmg": FMGSolver, "fsg": FSGSolver,
            "sg": SGSolver}[a.solver]
@@ -51,12 +79,22 @@ def main():
         Re=a.re, nx=a.n, ny=a.n, basis_type="chebyshev", CFL=1.5,
         beta_squared=5.0, corner_treatment=a.corner, corner_smoothing=0.15,
         tolerance=a.tol, max_iterations=a.budget, dtype="float32",
+        matmul_algorithm=a.alg,
         chunk_size=2000, convergence_metric=a.metric,
         multigrid="fsg" if a.solver in ("fsg", "vmg", "fmg") else "none",
-        n_levels=3)
+        n_levels=a.levels)
     print(f"{a.solver} N={a.n} Re={a.re} device={jax.devices()[0]}",
           flush=True)
     s = cls(params=p)
+    if a.init_npz:
+        import jax.numpy as jnp
+        from anap3_tpu.models import spectral_sg as core
+        w = np.load(a.init_npz)
+        dt = jnp.dtype(p.dtype)
+        s.state = core.SpectralState(
+            u=jnp.asarray(w["su"], dt), v=jnp.asarray(w["sv"], dt),
+            p=jnp.asarray(w["sp"], dt))
+        print(f"warm-started from {a.init_npz}", flush=True)
     t0 = time.time()
     s.solve()
     wall = time.time() - t0
@@ -69,6 +107,19 @@ def main():
               flush=True)
     except Exception as exc:
         print(f"(no FV truth comparison: {exc})", flush=True)
+    if a.save_npz:
+        f = s.fields
+        np.savez(a.save_npz, x=f.x, y=f.y, u=f.u, v=f.v,
+                 su=np.asarray(s.state.u), sv=np.asarray(s.state.v),
+                 sp=np.asarray(s.state.p))
+        print(f"saved fields -> {a.save_npz}", flush=True)
+    if a.compare_npz:
+        ref = np.load(a.compare_npz)
+        f = s.fields
+        du = np.linalg.norm(f.u - ref["u"]) / np.linalg.norm(ref["u"])
+        dv = np.linalg.norm(f.v - ref["v"]) / np.linalg.norm(ref["v"])
+        print(f"drift vs {a.compare_npz}: u={du:.3e} v={dv:.3e}",
+              flush=True)
 
 
 if __name__ == "__main__":

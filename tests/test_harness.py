@@ -309,10 +309,19 @@ class TestMultirunBatched:
         f64 = [dict(j, solver=dict(j["solver"], dtype="float64"))
                for j in jobs]
         assert M._lane_kernel_split(f64) is None
+        # uniform singular batches are lane-kernel eligible (round 5) and
+        # split under the singular VMEM lane budget; MIXED corner modes
+        # fall back whole to the vmapped path
         sing = [dict(j, solver=dict(j["solver"],
                                     corner_treatment="singular"))
                 for j in jobs]
-        assert M._lane_kernel_split(sing) is None
+        sparts = M._lane_kernel_split(sing)
+        assert sparts is not None and sum(len(p) for p in sparts) == 64
+        from anap3_tpu.ops.pallas_lanes_aligned import (
+            suggest_aligned_lane_count as _slc)
+        sfit = _slc(96, 64, singular=True)
+        assert all(len(p) <= sfit for p in sparts)
+        assert M._lane_kernel_split(sing[:32] + jobs[:32]) is None
 
     @pytest.mark.slow
     def test_threaded_heterogeneous_sweep(self, tmp_path, monkeypatch):

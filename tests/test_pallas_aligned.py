@@ -37,9 +37,12 @@ class TestSupport:
         assert not aligned_supported(129)  # core not sublane-aligned
         assert not aligned_supported(24)   # below the tier floor
         assert not aligned_supported(384)  # VMEM ceiling
-        # singular mode keeps the proven N=256 ceiling
+        # singular mode reaches the tier's own ceiling (round 5: the
+        # nine extra constant fields fit the raised vmem_limit_bytes the
+        # plain tier already uses above N=256; measured on a v5e)
         assert aligned_supported(256, singular=True)
-        assert not aligned_supported(320, singular=True)
+        assert aligned_supported(320, singular=True)
+        assert not aligned_supported(384, singular=True)
 
     def test_rejects_unsupported_order(self):
         with pytest.raises(ValueError, match="N % 8"):

@@ -33,9 +33,13 @@ def batch_states(ops_list):
 class TestSupport:
     def test_supported_batches(self):
         assert aligned_lanes_supported([mk_ops(100.0), mk_ops(400.0)])
-        # singular lanes fall back
-        assert not aligned_lanes_supported(
+        # singular lanes run the aligned lane kernel too (round 5)
+        assert aligned_lanes_supported(
             [mk_ops(1000.0, n=128, corner_treatment="singular")])
+        # ... but only in a uniform corner mode across the batch
+        assert not aligned_lanes_supported(
+            [mk_ops(1000.0, n=96, corner_treatment="singular"),
+             mk_ops(1000.0, n=96)])
         # unsupported core size falls back (N=12 below the tier floor)
         assert not aligned_lanes_supported([mk_ops(100.0, n=12)])
 
@@ -89,6 +93,60 @@ class TestLaneParity:
             # rel + residual norms + energy bit-identical
             np.testing.assert_array_equal(A[:, :5], R[:, :5])
             # enstrophy/palinstrophy: f32 rounding from batched-dot order
+            np.testing.assert_allclose(A[:, 5:], R[:, 5:], rtol=1e-5)
+            assert bool(done[b]) == bool(rdone)
+
+    def test_packed_lanes_match_b1_aligned(self):
+        """B=4 lanes of N=96 engage the COLUMN-PACKED left dots
+        (4*96 = 384 = 3 exact 128-lane tiles); per-lane state must stay
+        bit-identical to the B=1 aligned kernel (column blocks of a matmul
+        are independent)."""
+        Res = [100.0, 250.0, 500.0, 1000.0]
+        ops_list = [mk_ops(Re) for Re in Res]
+        chunk, tol, warmup = 3, 1e-30, 10
+        fn = make_aligned_lane_runner(ops_list, chunk, tol, warmup,
+                                      interpret=True)
+        states, batched = batch_states(ops_list)
+        s, done, conv, ever, rows = fn(batched, jnp.int32(0))
+        for b, o in enumerate(ops_list):
+            ref = make_aligned_chunk_runner(o, chunk, tol, warmup,
+                                            interpret=True)
+            rs, *_m, rrows, _ = ref(states[b], jnp.int32(0),
+                                    jnp.float32(np.inf))
+            assert jnp.array_equal(s.u[b], rs.u)
+            assert jnp.array_equal(s.v[b], rs.v)
+            assert jnp.array_equal(s.p[b], rs.p)
+            np.testing.assert_array_equal(
+                np.asarray(rows)[:, b, :5], np.asarray(rrows)[:, :5])
+
+    def test_singular_lanes_match_b1_aligned(self):
+        """Sharp-lid lanes: per-lane parity to the B=1 aligned singular
+        kernel — u/p bit-identical; v bit-identical except 1-2 ulp XLA
+        fusion-order noise confined to positions where v itself is machine
+        noise (the midline row, where the antisymmetric corner flows
+        cancel and |v| ~ 1e-16 on a ~1e-2 field); convergence metric
+        columns exact."""
+        Res = [100.0, 400.0]
+        ops_list = [mk_ops(Re, corner_treatment="singular") for Re in Res]
+        chunk, tol, warmup = 4, 1e-30, 10
+        fn = make_aligned_lane_runner(ops_list, chunk, tol, warmup,
+                                      interpret=True)
+        states, batched = batch_states(ops_list)
+        s, done, conv, ever, rows = fn(batched, jnp.int32(0))
+        for b, o in enumerate(ops_list):
+            ref = make_aligned_chunk_runner(o, chunk, tol, warmup,
+                                            interpret=True)
+            rs, rdone, rconv, rever, rrows, _ = ref(
+                states[b], jnp.int32(0), jnp.float32(np.inf))
+            assert jnp.array_equal(s.u[b], rs.u)
+            assert jnp.array_equal(s.p[b], rs.p)
+            V, RV = np.asarray(s.v[b]), np.asarray(rs.v)
+            mism = V != RV
+            if mism.any():
+                assert np.abs(V - RV).max() < 1e-15
+                assert np.abs(RV[mism]).max() < 1e-9
+            A, R = np.asarray(rows)[:, b, :], np.asarray(rrows)
+            np.testing.assert_array_equal(A[:, :5], R[:, :5])
             np.testing.assert_allclose(A[:, 5:], R[:, 5:], rtol=1e-5)
             assert bool(done[b]) == bool(rdone)
 

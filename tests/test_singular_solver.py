@@ -93,13 +93,14 @@ class TestSingularOps:
         np.testing.assert_allclose(np.asarray(ops.sing_u), S["u"])
 
     def test_fused_paths_singular_tier_dispatch(self):
-        """Singular mode routes aligned sizes (N % 8 == 0 up to 256) to
-        the bordered-core aligned kernel and everything above its singular
-        VMEM ceiling to the tiled kernels; the untiled whole-step kernel
-        (zero/lid-only borders) is never selected."""
+        """Singular mode routes every aligned size (N % 8 == 0 up to the
+        tier's own 320 ceiling, round 5) to the bordered-core aligned
+        kernel; non-sublane-aligned sizes fall to the tiled kernels; the
+        untiled whole-step kernel (zero/lid-only borders) is never
+        selected."""
         from anap3_tpu.models.spectral import make_fused_paths
 
-        for n in (96, 128):
+        for n in (96, 128, 320):
             p = SpectralParameters(Re=100.0, nx=n, ny=n, dtype="float32",
                                    corner_treatment="singular")
             ops, _ = core.build_spectral_ops(p, dtype=jnp.float32)
@@ -109,15 +110,15 @@ class TestSingularOps:
             assert "make_aligned_chunk_runner" in names
             assert "make_pallas_chunk_runner" not in names
 
-        p320 = SpectralParameters(Re=100.0, nx=320, ny=320, dtype="float32",
+        p220 = SpectralParameters(Re=100.0, nx=220, ny=220, dtype="float32",
                                   corner_treatment="singular")
-        ops320, _ = core.build_spectral_ops(p320, dtype=jnp.float32)
-        step320, factory320 = make_fused_paths(ops320, p320, 1e-6)
-        assert factory320 is not None
-        names320 = (factory320.__code__.co_names
-                    + factory320.__code__.co_freevars)
-        assert "make_tiled_chunk_runner" in names320
-        assert "make_aligned_chunk_runner" not in names320
+        ops220, _ = core.build_spectral_ops(p220, dtype=jnp.float32)
+        step220, factory220 = make_fused_paths(ops220, p220, 1e-6)
+        assert factory220 is not None
+        names220 = (factory220.__code__.co_names
+                    + factory220.__code__.co_freevars)
+        assert "make_tiled_chunk_runner" in names220
+        assert "make_aligned_chunk_runner" not in names220
 
     def test_cold_start_floor(self):
         """Calibrated against the measured rest-start brackets:
@@ -163,9 +164,10 @@ class TestChunkCap:
         from anap3_tpu.models.spectral import (effective_chunk,
                                                make_fused_paths)
 
-        # N=288 singular routes to the TILED tier (above the aligned
-        # kernel's singular VMEM ceiling of 256): capped
-        p = SpectralParameters(Re=1000.0, nx=288, ny=288, dtype="float32",
+        # N=220 singular routes to the TILED tier (220 % 8 != 0, outside
+        # the aligned tier; every aligned size now rides the bordered-core
+        # kernel up to 320): capped
+        p = SpectralParameters(Re=1000.0, nx=220, ny=220, dtype="float32",
                                corner_treatment="singular")
         ops, _ = core.build_spectral_ops(p, dtype=jnp.float32)
         _, factory = make_fused_paths(ops, p, 1e-6)
