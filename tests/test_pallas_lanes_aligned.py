@@ -102,6 +102,16 @@ class TestLaneParity:
         bit-identical to the B=1 aligned kernel (column blocks of a matmul
         are independent)."""
         Res = [100.0, 250.0, 500.0, 1000.0]
+        self._check_packed_parity(Res)
+
+    def test_partial_group_packed_lanes_match_b1_aligned(self):
+        """B=6 at N=96 = one packed group of 4 + 2 per-lane leftover lanes
+        (round 5: groups are fixed-width, gsz=4, so B % gsz lanes run the
+        per-lane left2 path); every lane must still match B=1 bit-exactly."""
+        Res = [100.0, 250.0, 400.0, 550.0, 700.0, 1000.0]
+        self._check_packed_parity(Res)
+
+    def _check_packed_parity(self, Res):
         ops_list = [mk_ops(Re) for Re in Res]
         chunk, tol, warmup = 3, 1e-30, 10
         fn = make_aligned_lane_runner(ops_list, chunk, tol, warmup,
