@@ -523,6 +523,17 @@ def run_multirun_batched(jobs):
                 [s.ops for s in solvers], first.params, mesh=mesh, log=log)
             if chunk_runner is not None:
                 chunk = int(first.params.chunk_size)
+        elif type(first).__name__ == "FVSolver":
+            # lane-batched FV SIMPLE kernel (round 5): amortizes the
+            # reduction-latency chain that bounds single FV solves
+            # (STATUS.md FV roofline) across the sweep lanes
+            from anap3_tpu.ops.pallas_fv_lanes import maybe_fv_lane_runner
+
+            chunk_runner = maybe_fv_lane_runner(
+                [s.params for s in solvers], [s.ops for s in solvers],
+                mesh=mesh, log=log)
+            if chunk_runner is not None:
+                chunk = min(int(first.params.chunk_size), 500)
 
         ops = stack_ops([s.ops for s in solvers])
         states = jax.tree.map(lambda *a: jnp.stack(a),

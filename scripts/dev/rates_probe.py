@@ -102,11 +102,72 @@ def dots_probe(n: int, seconds: float) -> None:
           flush=True)
 
 
+def fv_probe(a) -> None:
+    """FV SIMPLE iteration rate: B=1 chunk kernel vs the lane-batched
+    kernel (round 5) — the reduction-latency amortization measurement."""
+    from anap3_tpu.models.fv import FVState, build_fv_ops
+    from anap3_tpu.models.params import FVParameters
+
+    n = a.n
+    B = a.b if a.kind == "fv-lanes" else 1
+    Res = np.linspace(400.0, 1100.0, B) if B > 1 else [a.re]
+    cfgs = []
+    for r in Res:
+        p = FVParameters(
+            name="fv", Re=float(r), nx=n, ny=n, convection_scheme="TVD",
+            limiter="MUSCL", alpha_uv=0.4, alpha_p=0.2,
+            linear_solver_tol=1e-9, tolerance=1e-12, max_iterations=10**9,
+            corner_treatment="none", dtype="float32")
+        cfgs.append((p, build_fv_ops(p)[0]))
+    z = jnp.zeros
+    if a.kind == "fv-lanes":
+        from anap3_tpu.ops.pallas_fv_lanes import make_fv_lane_runner
+        run = make_fv_lane_runner([c[0] for c in cfgs], [c[1] for c in cfgs],
+                                  a.chunk, 1e-30, 10)
+        state = FVState(u=z((B, n, n), jnp.float32),
+                        v=z((B, n, n), jnp.float32),
+                        p=z((B, n, n), jnp.float32),
+                        mx=z((B, n, n - 1), jnp.float32),
+                        my=z((B, n - 1, n), jnp.float32))
+        call = lambda s, it: run(s, jnp.int32(it))[0]
+    else:
+        from anap3_tpu.ops.pallas_fv import make_pallas_fv_chunk_runner
+        run = make_pallas_fv_chunk_runner(cfgs[0][0], cfgs[0][1], a.chunk,
+                                          1e-30, 10)
+        state = FVState(u=z((n, n), jnp.float32), v=z((n, n), jnp.float32),
+                        p=z((n, n), jnp.float32),
+                        mx=z((n, n - 1), jnp.float32),
+                        my=z((n - 1, n), jnp.float32))
+        call = lambda s, it: run(s, jnp.int32(it),
+                                 jnp.float32(np.inf))[0]
+
+    print(f"kind={a.kind} N={n} B={B} chunk={a.chunk} "
+          f"sync_every={a.sync_every} device={jax.devices()[0]}", flush=True)
+    t0 = time.time()
+    state = call(state, 0)
+    sync(state.u)
+    print(f"compile+first chunk: {time.time() - t0:.1f}s", flush=True)
+    it, n_chunks = a.chunk, 0
+    t0 = time.time()
+    while time.time() - t0 < a.seconds:
+        state = call(state, it)
+        it += a.chunk
+        n_chunks += 1
+        if n_chunks % a.sync_every == 0:
+            sync(state.u)
+    sync(state.u)
+    wall = time.time() - t0
+    rate = n_chunks * a.chunk / wall
+    print(f"per-lane {rate:,.0f} SIMPLE it/s | aggregate {rate * B:,.0f} "
+          f"lane-it/s | finite={bool(jnp.isfinite(state.u).all())}",
+          flush=True)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--kind", default="aligned",
                     choices=["aligned", "tiled", "lanes", "lanes-aligned",
-                             "xla", "dots"])
+                             "xla", "dots", "fv", "fv-lanes"])
     ap.add_argument("--n", type=int, default=128)
     ap.add_argument("--b", type=int, default=8)
     ap.add_argument("--re", type=float, default=1000.0)
@@ -123,6 +184,10 @@ def main():
 
     if a.kind == "dots":
         dots_probe(a.n, max(a.seconds, 3.0))
+        return
+
+    if a.kind in ("fv", "fv-lanes"):
+        fv_probe(a)
         return
 
     lanes = a.kind.startswith("lanes")

@@ -41,6 +41,10 @@ def main():
     ap.add_argument("--alg", default="auto",
                     help="matmul_algorithm (x1/x3/x6/auto)")
     ap.add_argument("--levels", type=int, default=3, help="n_levels")
+    ap.add_argument("--chunk", type=int, default=2000,
+                    help="chunk_size (raise to cut per-chunk tunnel RTTs "
+                         "on long budgets: 8M iters at chunk=2000 spent "
+                         "~340 ms/chunk on round-trips, measured round 5)")
     ap.add_argument("--coarsest", type=int, default=None,
                     help="FORCE the hierarchy's coarsest order (bypasses "
                          "the FAS resolution floor — the floor-bracketing "
@@ -80,7 +84,7 @@ def main():
         beta_squared=5.0, corner_treatment=a.corner, corner_smoothing=0.15,
         tolerance=a.tol, max_iterations=a.budget, dtype="float32",
         matmul_algorithm=a.alg,
-        chunk_size=2000, convergence_metric=a.metric,
+        chunk_size=a.chunk, convergence_metric=a.metric,
         multigrid="fsg" if a.solver in ("fsg", "vmg", "fmg") else "none",
         n_levels=a.levels)
     print(f"{a.solver} N={a.n} Re={a.re} device={jax.devices()[0]}",
