@@ -229,9 +229,19 @@ def build_fused_tau_steps(solver, levels) -> dict | None:
 
 
 def build_vmg_levels(params: SpectralParameters, n_fine: int | None = None,
-                     coarsest_n: int | None = None) -> List[VmgLevel]:
-    """Hierarchy from FINE (index 0) to COARSE, with per-pair transfers."""
+                     coarsest_n: int | None = None,
+                     orders: List[int] | None = None) -> List[VmgLevel]:
+    """Hierarchy from FINE (index 0) to COARSE, with per-pair transfers.
+
+    ``orders`` forces an explicit (possibly non-halving) ladder and
+    bypasses the resolution floor — the FAS floor-bracketing experiment
+    hook (scripts/dev/vmg_probe.py --orders); production callers leave it
+    None and get the floor-guarded halving ladder.
+    """
     dtype = jnp.dtype(params.dtype)
+    if orders is not None:
+        if sorted(orders, reverse=True) != list(orders):
+            raise ValueError("orders must be fine-to-coarse")
     if coarsest_n is None:
         # resolution floor AND the Pe divergence guard: the FAS floor
         # (~2.4*sqrt(Re); 2.0 in singular mode) dominates up to Re ~ 28k;
@@ -240,13 +250,16 @@ def build_vmg_levels(params: SpectralParameters, n_fine: int | None = None,
         singular = str(params.corner_treatment).lower() == "singular"
         coarsest_n = max(fas_coarsest_n(float(params.Re), singular),
                          default_coarsest_n(float(params.Re)))
-    orders = []
-    n = int(params.nx if n_fine is None else n_fine)
-    for _ in range(int(params.n_levels)):
-        orders.append(n)
-        if n // 2 < coarsest_n:
-            break
-        n = n // 2
+    if orders is None:
+        orders = []
+        n = int(params.nx if n_fine is None else n_fine)
+        for _ in range(int(params.n_levels)):
+            orders.append(n)
+            if n // 2 < coarsest_n:
+                break
+            n = n // 2
+    else:
+        orders = [int(n) for n in orders]
 
     bx = make_basis(params.basis_type, (0.0, params.Lx))
     levels: List[VmgLevel] = []
@@ -259,7 +272,19 @@ def build_vmg_levels(params: SpectralParameters, n_fine: int | None = None,
             x_f = bx.nodes(n + 1)
             x_c = bx.nodes(nc + 1)
             is_cheb = str(params.basis_type).lower().startswith("cheb")
-            if is_cheb:
+            nested = is_cheb and n % nc == 0
+            if is_cheb and not nested:
+                # non-halving experimental ladders (--orders): CGL(nc)
+                # does NOT nest in CGL(n) unless nc divides n — exact
+                # polynomial resampling replaces injection, spectral
+                # truncation still restricts the defect
+                if str(params.corner_treatment).lower() == "singular":
+                    raise ValueError(
+                        "singular-mode FAS needs NESTED levels (nodal "
+                        "injection cancellation); use a halving ladder")
+                level.inj_full = cast(nodal_interpolation_matrix(x_f, x_c))
+                level.res_full = cast(fft_restriction_matrix(n + 1, nc + 1))
+            elif is_cheb:
                 # Chebyshev-Lobatto full grids nest and carry the DCT
                 # identities — use the reference's operators directly
                 level.inj_full = cast(

@@ -582,6 +582,67 @@ def bench_fv() -> dict:
     return out
 
 
+def bench_fv_lanes(b: int = 8, window: float = 8.0) -> dict:
+    """Aggregate FV-SIMPLE sweep throughput: B lanes in ONE Pallas program.
+
+    The FV roofline showed single solves are bound by the ~174 serialized
+    full-array reductions per SIMPLE iteration (5.3 us fixed + 1.2 us per
+    BiCGSTAB iter vs a 0.11 us flop bound, STATUS.md round 5).
+    ops/pallas_fv_lanes.py row-stacks B sweep lanes so each reduction link
+    carries all lanes; the serialization is per-lane-slice inside each
+    link, so aggregate throughput still beats B sequential solves (the
+    batched-reduction rewrite that would flatten it fully was measured
+    2.2x SLOWER — selector-dot latency; see STATUS.md round-5 additions).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from anap3_tpu.models.fv import FVState, build_fv_ops
+    from anap3_tpu.models.params import FVParameters
+    from anap3_tpu.ops.pallas_fv_lanes import make_fv_lane_runner
+
+    if jax.default_backend() != "tpu":
+        raise RuntimeError("FV lane kernel needs the TPU backend")
+    Res = np.linspace(400.0, 1100.0, b)
+    cfgs = []
+    for r in Res:
+        p = FVParameters(
+            name="fv", Re=float(r), nx=N, ny=N, convection_scheme="TVD",
+            limiter="MUSCL", alpha_uv=0.4, alpha_p=0.2,
+            linear_solver_tol=1e-9, tolerance=1e-12,
+            max_iterations=10**9, corner_treatment="none", dtype="float32")
+        cfgs.append((p, build_fv_ops(p)[0]))
+    CHUNK = 500
+    run = make_fv_lane_runner([c[0] for c in cfgs], [c[1] for c in cfgs],
+                              CHUNK, 1e-30, 10)
+    z = jnp.zeros
+    state = FVState(u=z((b, N, N), jnp.float32), v=z((b, N, N), jnp.float32),
+                    p=z((b, N, N), jnp.float32),
+                    mx=z((b, N, N - 1), jnp.float32),
+                    my=z((b, N - 1, N), jnp.float32))
+    t0 = time.time()
+    state = run(state, jnp.int32(0))[0]
+    _sync(state.u)
+    compile_s = time.time() - t0
+    it, n_chunks = CHUNK, 0
+    t0 = time.time()
+    while time.time() - t0 < window:
+        state = run(state, jnp.int32(it))[0]
+        it += CHUNK
+        n_chunks += 1
+        if n_chunks % 4 == 0:
+            _sync(state.u)
+    _sync(state.u)
+    rate = n_chunks * CHUNK / (time.time() - t0)
+    return {
+        f"fv_lane_steps_per_sec_N{N}_B{b}": round(rate * b, 1),
+        f"fv_lane_per_lane_steps_per_sec_N{N}_B{b}": round(rate, 1),
+        f"fv_lane_compile_seconds": round(compile_s, 2),
+        f"fv_lane_final_finite": bool(
+            np.isfinite(np.asarray(state.u)).all()),
+    }
+
+
 def bench_fv_walls() -> dict:
     """End-to-end FV solve walls at N=128 (VERDICT r4 #5): the full
     production FVSolver.solve at the reference truth-run settings
@@ -786,6 +847,11 @@ def main():
         fv_extras.update(bench_fv_walls())
     except Exception as exc:
         fv_extras["fv_walls_error"] = repr(exc)[:200]
+    _stage("fv lane sweep")
+    try:
+        fv_extras.update(bench_fv_lanes())
+    except Exception as exc:
+        fv_extras["fv_lanes_error"] = repr(exc)[:200]
     # stretch + the other aligned-tier sizes the product recommends
     # (VERDICT r3 #2: the fast tier must not exist only at benchmark sizes)
     for n_extra in (192, 256, 320):

@@ -49,6 +49,10 @@ def main():
                     help="FORCE the hierarchy's coarsest order (bypasses "
                          "the FAS resolution floor — the floor-bracketing "
                          "experiment, VERDICT r4 #8)")
+    ap.add_argument("--orders", default=None,
+                    help="FORCE the full hierarchy as a comma list, e.g. "
+                         "'192,128' (non-halving ladders for the FAS "
+                         "floor bracketing; bypasses the floor)")
     ap.add_argument("--save-npz", default=None,
                     help="save converged fields (x/y/u/v) + raw state "
                          "(su/sv/sp) to this path")
@@ -68,10 +72,15 @@ def main():
     from anap3_tpu.models import spectral_vmg
     from anap3_tpu.models.spectral_vmg import FMGSolver, VMGSolver
 
-    if a.coarsest is not None:
+    if a.coarsest is not None or a.orders:
         orig_build = spectral_vmg.build_vmg_levels
+        forced_orders = ([int(x) for x in a.orders.split(",")]
+                         if a.orders else None)
 
         def forced_build(params, n_fine=None, coarsest_n=None):
+            if forced_orders is not None:
+                return orig_build(params, n_fine, None,
+                                  orders=forced_orders)
             return orig_build(params, n_fine, int(a.coarsest))
 
         spectral_vmg.build_vmg_levels = forced_build
@@ -95,9 +104,12 @@ def main():
         from anap3_tpu.models import spectral_sg as core
         w = np.load(a.init_npz)
         dt = jnp.dtype(p.dtype)
+        # --save-npz layout (su/sv/sp) or the data/steady exact-state
+        # layout (raw state u/v/p — the smooth remainder in singular mode)
+        ku, kv, kp = (("su", "sv", "sp") if "su" in w else ("u", "v", "p"))
         s.state = core.SpectralState(
-            u=jnp.asarray(w["su"], dt), v=jnp.asarray(w["sv"], dt),
-            p=jnp.asarray(w["sp"], dt))
+            u=jnp.asarray(w[ku], dt), v=jnp.asarray(w[kv], dt),
+            p=jnp.asarray(w[kp], dt))
         print(f"warm-started from {a.init_npz}", flush=True)
     t0 = time.time()
     s.solve()
@@ -119,11 +131,28 @@ def main():
         print(f"saved fields -> {a.save_npz}", flush=True)
     if a.compare_npz:
         ref = np.load(a.compare_npz)
-        f = s.fields
-        du = np.linalg.norm(f.u - ref["u"]) / np.linalg.norm(ref["u"])
-        dv = np.linalg.norm(f.v - ref["v"]) / np.linalg.norm(ref["v"])
-        print(f"drift vs {a.compare_npz}: u={du:.3e} v={dv:.3e}",
-              flush=True)
+        su = np.asarray(s.state.u, np.float64)
+        if "su" in ref and ref["su"].shape == su.shape:
+            ku, kv = "su", "sv"
+        elif "u" in ref and ref["u"].shape == su.shape:
+            ku, kv = "u", "v"        # data/steady raw-state layout
+        else:
+            ku = kv = None
+        if ku is not None:
+            ru, rv = ref[ku], ref[kv]
+            du = np.linalg.norm(su - ru) / np.linalg.norm(ru)
+            dv = np.linalg.norm(np.asarray(s.state.v, np.float64) - rv) \
+                / np.linalg.norm(rv)
+            dmax = max(np.abs(su - ru).max(),
+                       np.abs(np.asarray(s.state.v, np.float64) - rv).max())
+            print(f"STATE drift vs {a.compare_npz}: u={du:.3e} v={dv:.3e} "
+                  f"max|d|={dmax:.3e}", flush=True)
+        else:
+            f = s.fields
+            du = np.linalg.norm(f.u - ref["u"]) / np.linalg.norm(ref["u"])
+            dv = np.linalg.norm(f.v - ref["v"]) / np.linalg.norm(ref["v"])
+            print(f"drift vs {a.compare_npz}: u={du:.3e} v={dv:.3e}",
+                  flush=True)
 
 
 if __name__ == "__main__":
