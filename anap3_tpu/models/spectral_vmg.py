@@ -119,6 +119,38 @@ PE_FULL_CORRECTION = 15.0   # undamped corrections below this
 # toward the coarse grid's own flow, which the prolongated correction
 # imposes on the fine state. The observed brackets (floor in (12,24] at
 # Re=100, (48,96] at Re=1000) pin the coefficient to ~2.4.
+#
+# ROUND-5 HIGH-Re RE-BRACKETING (VERDICT r4 #8; measured 2026-08-20 on
+# the v5e, f32, energy criterion, fine N=192, truth = converged
+# FSG/SG-energy state at the same N; scripts/dev/vmg_probe.py --orders):
+# - Re=3200: cold [192, 96] converges UNBIASED (283k cycles, L2 vs
+#   truth 5.8e-3/7.6e-3 = criterion slop) and so does cold [192, 64]
+#   (96k cycles, 1.7e-4/2.2e-4): the true floor at Re=3200 is AT OR
+#   BELOW 64 = 1.13*sqrt(Re). The 2.4*sqrt(Re) = 136 extrapolation is
+#   >2x conservative there — the floor does NOT scale as c*sqrt(Re)
+#   across the measured range (no single c fits (12,24] @ 100,
+#   (48,96] @ 1000, <=64 @ 3200; nor does any c*Re^(1/3) or a pure
+#   cell-Peclet bound).
+# - Re=10000: cold [192, 96] DIVERGES to NaN in 2.6k cycles — N=96 at
+#   Re=10000 has cell Peclet 164 > PE_COARSEST_MAX 110, so the Pe
+#   divergence guard (not the resolution floor) is what a forced
+#   hierarchy violates first there; the production coarsest
+#   max(2.4*sqrt(Re), Pe bound) = 240 stands CONFIRMED on the failing
+#   side at Re=10000.
+# - WARM-started hierarchies are stable well below the floor: even the
+#   historically-biased [192, 48] @ Re=1000 holds the fine truth to
+#   2.5e-4 over 25k cycles (non-growing; [192,96]/[192,64] @ 3200 stay
+#   at 1e-4 over 2500 cycles). The floor failure is a COLD-START BASIN
+#   effect — the biased coarse-attractor state coexists with the
+#   locally-stable true fixed point — which is why the cold-start
+#   warm-start prelude (VMG_COLD_START_MAX_N) is the right mitigation
+#   and why FMG/warm-started V-cycles never showed it.
+# - Production rule: keep coarsest N >= 2.4*sqrt(Re) for cold starts.
+#   It held at every measured point and is a SUFFICIENT condition, not
+#   a sharp threshold; at Re >= 3200 it is conservative by >= 2x, so
+#   hierarchies it rejects can be forced (vmg_probe --orders /
+#   build_vmg_levels(orders=...)) after a warm start or with a truth
+#   check. See STATUS.md "Round-5 additions" for the full protocol.
 FAS_RESOLUTION_COEFF = 2.4
 
 

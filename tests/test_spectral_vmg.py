@@ -329,6 +329,36 @@ class TestFasFloor:
         assert fas_coarsest_n(25.0) == 12
         assert fas_coarsest_n(100.0) == 24
         assert 48 < fas_coarsest_n(1000.0) <= 96
+        # round-5 high-Re re-bracketing (VERDICT r4 #8, measured
+        # 2026-08-20, see FAS_RESOLUTION_COEFF docstring): at Re=3200
+        # cold [192,96] AND [192,64] converge unbiased, so the rule's
+        # 136 is a conservative sufficient condition (>=2x above the
+        # true floor); at Re=10000 a forced [192,96] DIVERGES (Pe 164 >
+        # 110), so the production max(FAS, Pe) coarsest = 240 is
+        # confirmed on the failing side.
+        assert fas_coarsest_n(3200.0) == 136
+        from anap3_tpu.models.spectral_vmg import (PE_COARSEST_MAX,
+                                                   cell_peclet)
+        assert cell_peclet(10000.0, 96) > PE_COARSEST_MAX
+        assert max(fas_coarsest_n(10000.0),
+                   default_coarsest_n(10000.0)) == 240
+
+    def test_forced_orders_ladder(self):
+        """--orders experiment hook: explicit (incl. non-nested) ladders
+        build valid transfers; singular mode rejects non-nested pairs."""
+        from anap3_tpu.models.spectral_vmg import build_vmg_levels
+
+        p = make_params(Re=1000.0, nx=48, ny=48)
+        lv = build_vmg_levels(p, orders=[48, 32])   # non-nested pair
+        assert [l.n for l in lv] == [48, 32]
+        assert lv[0].inj_full.shape == (33, 49)
+        assert lv[0].pro_full.shape == (49, 33)
+        with pytest.raises(ValueError):
+            build_vmg_levels(p, orders=[32, 48])    # not fine-to-coarse
+        p_sing = make_params(Re=1000.0, nx=48, ny=48)
+        p_sing.corner_treatment = "singular"
+        with pytest.raises(ValueError):
+            build_vmg_levels(p_sing, orders=[48, 32])
 
     def test_warning_fires_on_degenerate_hierarchy(self, caplog):
         import logging
