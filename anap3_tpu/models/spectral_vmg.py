@@ -126,11 +126,16 @@ PE_FULL_CORRECTION = 15.0   # undamped corrections below this
 # - Re=3200: cold [192, 96] converges UNBIASED (283k cycles, L2 vs
 #   truth 5.8e-3/7.6e-3 = criterion slop) and so does cold [192, 64]
 #   (96k cycles, 1.7e-4/2.2e-4): the true floor at Re=3200 is AT OR
-#   BELOW 64 = 1.13*sqrt(Re). The 2.4*sqrt(Re) = 136 extrapolation is
-#   >2x conservative there — the floor does NOT scale as c*sqrt(Re)
-#   across the measured range (no single c fits (12,24] @ 100,
-#   (48,96] @ 1000, <=64 @ 3200; nor does any c*Re^(1/3) or a pure
-#   cell-Peclet bound).
+#   BELOW 64 = 1.13*sqrt(Re) — the 2.4*sqrt(Re) = 136 extrapolation is
+#   >2x conservative.
+# - The round-2 Re=1000 bracket is STALE on current code: cold
+#   [192, 48] — the historically-biased configuration — now lands
+#   within 2.2e-4 of the fine truth after 100k cycles (no coarse-
+#   attractor bias). The round-2 calibration predates the basis-aware
+#   nodal transfers (round 3) and the tau/restriction fixes (round 4);
+#   on today's kernels no smoothed-lid bias point has been reproduced,
+#   so the measured floor is <=48 = 1.52*sqrt(Re) at Re=1000 and
+#   <=64 = 1.13*sqrt(Re) at Re=3200.
 # - Re=10000: cold [192, 96] DIVERGES to NaN in 2.6k cycles — N=96 at
 #   Re=10000 has cell Peclet 164 > PE_COARSEST_MAX 110, so the Pe
 #   divergence guard (not the resolution floor) is what a forced
@@ -146,10 +151,13 @@ PE_FULL_CORRECTION = 15.0   # undamped corrections below this
 #   warm-start prelude (VMG_COLD_START_MAX_N) is the right mitigation
 #   and why FMG/warm-started V-cycles never showed it.
 # - Production rule: keep coarsest N >= 2.4*sqrt(Re) for cold starts.
-#   It held at every measured point and is a SUFFICIENT condition, not
-#   a sharp threshold; at Re >= 3200 it is conservative by >= 2x, so
-#   hierarchies it rejects can be forced (vmg_probe --orders /
-#   build_vmg_levels(orders=...)) after a warm start or with a truth
+#   Every hierarchy it admits converged unbiased in every round's
+#   measurements, and relaxing a safety floor on one night's evidence
+#   (three Re values, one fine N, smoothed lid only — singular mode,
+#   other lids, and Re > 3200 below the Pe bound remain unmeasured on
+#   the fixed transfers) is a bad trade for the <=3x extra coarse-level
+#   work it costs. Experts can force deeper ladders via
+#   build_vmg_levels(orders=...) / vmg_probe --orders after a truth
 #   check. See STATUS.md "Round-5 additions" for the full protocol.
 FAS_RESOLUTION_COEFF = 2.4
 
