@@ -396,6 +396,12 @@ def _measure_vpu_tflops(seconds: float = 2.0) -> float:
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
 
+    # KNOWN VARIANCE: one call is only ~38 us of compute, so tunnel
+    # dispatch hiccups can depress a whole window (a 2.1 TFLOP/s reading
+    # was observed under load 2026-08-21 vs the 14.1 honest peak); a
+    # 16x-heavier chain would fix it but its kernel is uncached and the
+    # remote compile can exceed the whole bench budget — treat readings
+    # far below 14 as load artifacts (fv_compute_sol_pct inherits them)
     M, INNER = 256, 4096
 
     def kernel(x_ref, a_ref, b_ref, o_ref):
